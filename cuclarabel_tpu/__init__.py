@@ -1,0 +1,68 @@
+"""cuclarabel_tpu — a TPU-native interior-point conic solver.
+
+A brand-new JAX/XLA/Pallas implementation of a primal-dual interior-point
+method for conic programs of the form
+
+    minimize    (1/2) x'Px + q'x
+    subject to  Ax + s = b,  s in K
+
+where K is a Cartesian product of zero, nonnegative, second-order,
+PSD-triangle, exponential, power and generalized power cones.
+
+Capability target: Clarabel.jl v0.11.0 (the upstream of CuClarabel),
+re-designed TPU-first:
+  * all numeric state lives in flat device arrays (no cone object tree);
+  * cone operations are grouped, vectorized kernels per cone *type*
+    (segment-reductions for heterogeneous sizes, batched linalg for PSD);
+  * the entire IPM iteration runs as a single jitted `lax.while_loop`;
+  * KKT systems are factorized with dense blocked kernels that map onto
+    the MXU, with f32 factorization + f64 iterative refinement on TPU;
+  * batches of problems solve in parallel via `vmap` and shard over a
+    `jax.sharding.Mesh`.
+
+Reference behavior citations throughout point at the Clarabel.jl tree
+(e.g. `src/solver.jl:189-380`) for parity checking; the implementation
+here is an independent TPU-first design, not a translation.
+"""
+
+import jax as _jax
+
+# The IPM requires ~1e-8 duality-gap accuracy; f64 iterates are mandatory.
+# On TPU the hot factorization path runs in f32 with f64 iterative
+# refinement (see kkt/dense.py), so x64 here only affects cheap vector ops.
+_jax.config.update("jax_enable_x64", True)
+
+from .settings import Settings
+from .statuscodes import SolverStatus
+from .cones.api import (
+    ZeroConeT,
+    NonnegativeConeT,
+    SecondOrderConeT,
+    ExponentialConeT,
+    PowerConeT,
+    GenPowerConeT,
+    PSDTriangleConeT,
+    SupportedCone,
+)
+from .solver import Solver, DefaultSolution
+from .infinity import get_infinity, set_infinity, default_infinity
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Solver",
+    "DefaultSolution",
+    "Settings",
+    "SolverStatus",
+    "SupportedCone",
+    "ZeroConeT",
+    "NonnegativeConeT",
+    "SecondOrderConeT",
+    "ExponentialConeT",
+    "PowerConeT",
+    "GenPowerConeT",
+    "PSDTriangleConeT",
+    "get_infinity",
+    "set_infinity",
+    "default_infinity",
+]

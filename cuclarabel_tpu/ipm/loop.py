@@ -1,0 +1,563 @@
+"""The IPM main loop as a single jitted `lax.while_loop`.
+
+Functional re-design of the reference solve! loop (`src/solver.jl:189-380`)
+with the homogeneous embedding that keeps the quadratic objective:
+
+  * all solver state (x, s, z, tau, kappa, info scalars, strategy flags)
+    is one flat pytree carried through the loop;
+  * the three strategy checkpoints (insufficient progress / numerical
+    error / small step, solver.jl:453-514) become branchless flag
+    arithmetic: a "continue-with-Dual-scaling" retry is a loop pass that
+    commits no step;
+  * termination conditions (info.jl:65-120,230-331) are evaluated
+    on-device each pass; the loop exits when a final status is set.
+
+The dense KKT factorize/solve and all cone kernels are closed over and
+fuse into one XLA computation; the whole solve is a single device
+program with no host round-trips.
+"""
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cones import ops as cone_ops
+from ..cones.layout import ConeLayout
+from ..kkt.dense import make_dense_kkt
+from ..statuscodes import SolverStatus as S
+
+F64EPS = float(np.finfo(np.float64).eps)
+FMAX = float(np.finfo(np.float64).max)
+
+# scaling strategy flags (PrimalDual first, like the reference)
+PRIMAL_DUAL = 0
+DUAL_ONLY = 1
+
+INFO_KEYS = (
+    "cost_primal",
+    "cost_dual",
+    "res_primal",
+    "res_dual",
+    "res_primal_inf",
+    "res_dual_inf",
+    "gap_abs",
+    "gap_rel",
+    "ktratio",
+    "dot_bz",
+    "dot_qx",
+)
+
+
+def _norm_scaled(w, v):
+    """2-norm of the elementwise product w .* v (mathutils.jl:58-82)."""
+    return jnp.linalg.norm(w * v)
+
+
+def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
+                  factor_dtype):
+    """Builds the jitted solve function for this (layout, settings,
+    dims) signature.  The returned fn maps a dict of device arrays
+    {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
+    pytree."""
+
+    sym = layout.is_symmetric
+    deg1 = layout.degree + 1
+    factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype)
+
+    allows_pd = layout.allows_primal_dual_scaling
+    init_scaling = PRIMAL_DUAL if allows_pd else DUAL_ONLY
+
+    st = settings  # brevity
+
+    # ------------------------------------------------------------------
+    def solve(dev: Dict[str, jnp.ndarray]):
+        P, q, A, b = dev["P"], dev["q"], dev["A"], dev["b"]
+        d, dinv = dev["d"], dev["dinv"]
+        e, einv = dev["e"], dev["einv"]
+        cinv = 1.0 / dev["cscale"]
+        normq, normb = dev["normq"], dev["normb"]
+
+        def quad(u, v):
+            return u @ (P @ v)
+
+        # -------------------- residuals (residuals.jl:1-37)
+        def residuals(v):
+            x, s_, z_, tau = v["x"], v["s"], v["z"], v["tau"]
+            Px = P @ x
+            qx = q @ x
+            bz = b @ z_
+            sz = s_ @ z_
+            xPx = x @ Px
+            rx_inf = -(A.T @ z_)
+            rz_inf = A @ x + s_
+            return {
+                "rx": rx_inf - Px - q * tau,
+                "rz": rz_inf - b * tau,
+                "rtau": qx + bz + v["kappa"] + xPx / tau,
+                "rx_inf": rx_inf,
+                "rz_inf": rz_inf,
+                "Px": Px,
+                "qx": qx,
+                "bz": bz,
+                "sz": sz,
+                "xPx": xPx,
+            }
+
+        # -------------------- info scalars (info.jl:1-63)
+        def info_update(r, v):
+            tinv = 1.0 / v["tau"]
+            xPx_half = r["xPx"] * tinv * tinv / 2.0
+            cost_primal = (r["qx"] * tinv + xPx_half) * cinv
+            cost_dual = (-r["bz"] * tinv - xPx_half) * cinv
+
+            normx = _norm_scaled(d, v["x"])
+            normz = _norm_scaled(e, v["z"]) * cinv
+            norms = _norm_scaled(einv, v["s"])
+
+            res_primal_inf = (_norm_scaled(dinv, r["rx_inf"]) * cinv) / jnp.maximum(
+                1.0, normz
+            )
+            res_dual_inf = jnp.maximum(
+                _norm_scaled(dinv, r["Px"]) / jnp.maximum(1.0, normx),
+                _norm_scaled(einv, r["rz_inf"]) / jnp.maximum(1.0, normx + norms),
+            )
+
+            normx = normx * tinv
+            normz = normz * tinv
+            norms = norms * tinv
+
+            res_primal = (
+                _norm_scaled(einv, r["rz"]) * tinv
+                / jnp.maximum(1.0, normb + normx + norms)
+            )
+            res_dual = (
+                _norm_scaled(dinv, r["rx"]) * tinv * cinv
+                / jnp.maximum(1.0, normq + normx + normz)
+            )
+
+            gap_abs = jnp.abs(cost_primal - cost_dual)
+            gap_rel = gap_abs / jnp.maximum(
+                1.0, jnp.minimum(jnp.abs(cost_primal), jnp.abs(cost_dual))
+            )
+            return {
+                "cost_primal": cost_primal,
+                "cost_dual": cost_dual,
+                "res_primal": res_primal,
+                "res_dual": res_dual,
+                "res_primal_inf": res_primal_inf,
+                "res_dual_inf": res_dual_inf,
+                "gap_abs": gap_abs,
+                "gap_rel": gap_rel,
+                "ktratio": v["kappa"] * tinv,
+                "dot_bz": r["bz"],
+                "dot_qx": r["qx"],
+            }
+
+        # -------------------- convergence predicate (info.jl:274-331)
+        def check_convergence(info, tol_gap_abs, tol_gap_rel, tol_feas,
+                              tol_infeas_abs, tol_infeas_rel, tol_ktratio,
+                              solved_code, pinf_code, dinf_code):
+            solved = (
+                (info["ktratio"] <= 1.0)
+                & ((info["gap_abs"] < tol_gap_abs) | (info["gap_rel"] < tol_gap_rel))
+                & (info["res_primal"] < tol_feas)
+                & (info["res_dual"] < tol_feas)
+            )
+            kt_huge = info["ktratio"] > 1000.0 / tol_ktratio
+            pinf = (
+                kt_huge
+                & (info["dot_bz"] < -tol_infeas_abs)
+                & (info["res_primal_inf"] < -tol_infeas_rel * info["dot_bz"])
+            )
+            dinf = (
+                kt_huge
+                & ~pinf
+                & (info["dot_qx"] < -tol_infeas_abs)
+                & (info["res_dual_inf"] < -tol_infeas_rel * info["dot_qx"])
+            )
+            return jnp.where(
+                solved,
+                solved_code,
+                jnp.where(pinf, pinf_code, jnp.where(dinf, dinf_code, int(S.UNSOLVED))),
+            ).astype(jnp.int32)
+
+        # -------------------- termination (info.jl:65-120)
+        def check_termination(info, prev_info, it):
+            status = check_convergence(
+                info,
+                st.tol_gap_abs, st.tol_gap_rel, st.tol_feas,
+                st.tol_infeas_abs, st.tol_infeas_rel, st.tol_ktratio,
+                int(S.SOLVED), int(S.PRIMAL_INFEASIBLE), int(S.DUAL_INFEASIBLE),
+            )
+            # poor progress detectors
+            backwards = (it > 1) & (
+                (info["res_dual"] > prev_info["res_dual"])
+                | (info["res_primal"] > prev_info["res_primal"])
+            )
+            poor_hi = (
+                backwards
+                & (info["ktratio"] < 100.0 * F64EPS)
+                & (
+                    (prev_info["gap_abs"] < st.tol_gap_abs)
+                    | (prev_info["gap_rel"] < st.tol_gap_rel)
+                )
+            )
+            diverging = (
+                backwards
+                & (info["ktratio"] < 1.0)
+                & (
+                    (
+                        (info["res_dual"] > 100.0 * st.tol_feas)
+                        & (info["res_dual"] > 100.0 * prev_info["res_dual"])
+                    )
+                    | (
+                        (info["res_primal"] > 100.0 * st.tol_feas)
+                        & (info["res_primal"] > 100.0 * prev_info["res_primal"])
+                    )
+                )
+            )
+            status = jnp.where(
+                (status == int(S.UNSOLVED)) & (poor_hi | diverging),
+                int(S.INSUFFICIENT_PROGRESS),
+                status,
+            )
+            status = jnp.where(
+                (status == int(S.UNSOLVED)) & (it >= st.max_iter),
+                int(S.MAX_ITERATIONS),
+                status,
+            ).astype(jnp.int32)
+            return status
+
+        # -------------------- one generic KKT step solve
+        # (kktsystem.jl:135-215)
+        def kkt_step(fac, x2, z2, v, scal, rhs, is_affine: bool):
+            if is_affine:
+                const = v["s"]
+            else:
+                const = cone_ops.ds_from_dz_offset(layout, scal, rhs["s"], v["z"])
+            workz = const - rhs["z"]
+            x1, z1, ok = kkt_solve(fac, rhs["x"], workz)
+
+            tau, kappa = v["tau"], v["kappa"]
+            xi = v["x"] / tau
+            tau_num = (
+                rhs["tau"] - rhs["kappa"] / tau
+                + q @ x1 + b @ z1 + 2.0 * quad(xi, x1)
+            )
+            xi_m = xi - x2
+            tau_den = (
+                kappa / tau - q @ x2 - b @ z2
+                + quad(xi_m, xi_m) - quad(x2, x2)
+            )
+            dtau = tau_num / tau_den
+            dx = x1 + dtau * x2
+            dz = z1 + dtau * z2
+            dsv = -(cone_ops.mul_Hs(layout, scal, dz) + const)
+            dkappa = -(rhs["kappa"] + kappa * dtau) / tau
+            return (
+                {"x": dx, "s": dsv, "z": dz, "tau": dtau, "kappa": dkappa},
+                ok,
+            )
+
+        # -------------------- step length (variables.jl:14-43)
+        def get_step_length(v, step, scaling, combined: bool):
+            atau = jnp.where(step["tau"] < 0, -v["tau"] / step["tau"], FMAX)
+            akappa = jnp.where(step["kappa"] < 0, -v["kappa"] / step["kappa"], FMAX)
+            amax = jnp.minimum(jnp.minimum(atau, akappa), 1.0)
+            alpha = cone_ops.step_length(
+                layout, step["z"], step["s"], v["z"], v["s"], amax, st
+            )
+            if combined:
+                alpha = alpha * st.max_step_fraction
+                if not sym:
+                    # barrier backtrack for Dual-scaled asymmetric steps
+                    # (solver.jl:407-442)
+                    alpha = jnp.where(
+                        scaling == DUAL_ONLY,
+                        backtrack_barrier(v, step, alpha),
+                        alpha,
+                    )
+            return alpha
+
+        def full_barrier(v, step, alpha):
+            """variables_barrier (variables.jl:46-72)."""
+            cur_tau = v["tau"] + alpha * step["tau"]
+            cur_kappa = v["kappa"] + alpha * step["kappa"]
+            sz = jnp.sum((v["z"] + alpha * step["z"]) * (v["s"] + alpha * step["s"]))
+            mu = (sz + cur_tau * cur_kappa) / deg1
+            barrier = (
+                deg1 * cone_ops._logsafe(mu)
+                - cone_ops._logsafe(cur_tau)
+                - cone_ops._logsafe(cur_kappa)
+            )
+            return barrier + cone_ops.compute_barrier(
+                layout, v["z"], v["s"], step["z"], step["s"], alpha
+            )
+
+        def backtrack_barrier(v, step, alpha0):
+            def cond(c):
+                _, j, done = c
+                return (~done) & (j < 50)
+
+            def body(c):
+                a, j, _ = c
+                done = full_barrier(v, step, a) < 1.0
+                a = jnp.where(done, a, st.linesearch_backtrack_step * a)
+                return (a, j + 1, done)
+
+            a, _, _ = jax.lax.while_loop(cond, body, (alpha0, 0, False))
+            return a
+
+        # -------------------- initialization (solver.jl:383-404)
+        def default_start():
+            if sym:
+                scal0 = cone_ops.set_identity_scaling(layout)
+                Hs0 = cone_ops.assemble_Hs_dense(layout, scal0)
+                fac, _ = factorize(P, A, Hs0)
+                if has_P:
+                    # QP init (kktsystem.jl:120-128)
+                    x0, z0, _ = kkt_solve(fac, -q, b)
+                    s0 = -z0
+                else:
+                    # LP init (kktsystem.jl:101-119)
+                    x0, ms, _ = kkt_solve(fac, jnp.zeros(n), b)
+                    s0 = -ms
+                    _, z0, _ = kkt_solve(fac, -q, jnp.zeros(m))
+                s0 = cone_ops.shift_to_cone_interior(layout, s0, cone_ops.PRIMAL)
+                z0 = cone_ops.shift_to_cone_interior(layout, z0, cone_ops.DUAL)
+            else:
+                z0, s0 = cone_ops.unit_initialization(layout)
+                x0 = jnp.zeros(n)
+            return {
+                "x": x0,
+                "s": s0,
+                "z": z0,
+                "tau": jnp.asarray(1.0),
+                "kappa": jnp.asarray(1.0),
+            }
+
+        # -------------------- loop state
+        def where_tree(c, a, b_):
+            return jax.tree_util.tree_map(lambda u, w: jnp.where(c, u, w), a, b_)
+
+        v0 = default_start()
+        info0 = {k: jnp.asarray(FMAX) for k in INFO_KEYS}
+        state0 = {
+            "vars": v0,
+            "prev_vars": v0,
+            "info": info0,
+            "prev_info": info0,
+            "iter": jnp.asarray(0, jnp.int32),
+            "status": jnp.asarray(int(S.UNSOLVED), jnp.int32),
+            "scaling": jnp.asarray(init_scaling, jnp.int32),
+            "mu": jnp.asarray(FMAX),
+            "alpha": jnp.asarray(0.0),
+            "sigma": jnp.asarray(1.0),
+        }
+
+        def loop_cond(s_):
+            return s_["status"] == int(S.UNSOLVED)
+
+        def loop_body(s_):
+            v = s_["vars"]
+            scaling = s_["scaling"]
+
+            r = residuals(v)
+            mu = (r["sz"] + v["tau"] * v["kappa"]) / deg1
+            info = info_update(r, v)
+            status = check_termination(info, s_["prev_info"], s_["iter"])
+
+            # --- insufficient-progress checkpoint (solver.jl:453-472)
+            if not sym:
+                restore = (status == int(S.INSUFFICIENT_PROGRESS)) & (
+                    scaling == PRIMAL_DUAL
+                )
+            else:
+                restore = jnp.asarray(False)
+            v = where_tree(restore, s_["prev_vars"], v)
+            info = where_tree(restore, s_["prev_info"], info)
+            status = jnp.where(restore, int(S.UNSOLVED), status).astype(jnp.int32)
+            scaling = jnp.where(restore, DUAL_ONLY, scaling).astype(jnp.int32)
+
+            done = status != int(S.UNSOLVED)
+            proceed = (~done) & (~restore)
+
+            # --- cone scaling update
+            scal, scale_ok = cone_ops.update_scaling(
+                layout, v["s"], v["z"], mu, scaling
+            )
+            status = jnp.where(
+                proceed & ~scale_ok, int(S.NUMERICAL_ERROR), status
+            ).astype(jnp.int32)
+            proceed = proceed & scale_ok
+
+            it = jnp.where(proceed, s_["iter"] + 1, s_["iter"]).astype(jnp.int32)
+
+            # --- KKT update + constant-rhs solve (kktsystem.jl:62-92)
+            Hs = cone_ops.assemble_Hs_dense(layout, scal)
+            fac, okf = factorize(P, A, Hs)
+            x2, z2, okc = kkt_solve(fac, -q, b)
+            kkt_ok = okf & okc
+
+            # --- affine step (variables.jl:107-121)
+            rhs_aff = {
+                "x": r["rx"],
+                "z": r["rz"],
+                "s": cone_ops.affine_ds(layout, scal, v["s"]),
+                "tau": r["rtau"],
+                "kappa": v["tau"] * v["kappa"],
+            }
+            step_aff, oka = kkt_step(fac, x2, z2, v, scal, rhs_aff, True)
+            kkt_ok = kkt_ok & oka
+
+            alpha_aff = get_step_length(v, step_aff, scaling, combined=False)
+            sigma = (1.0 - alpha_aff) ** 3  # Mehrotra (solver.jl:446-449)
+            # reduced correction on the first iteration (solver.jl:305-307)
+            mcorr = jnp.where(it > 1, 1.0, alpha_aff)
+
+            # --- combined step (variables.jl:124-162)
+            sigma_mu = sigma * mu
+            shift = cone_ops.combined_ds_shift(
+                layout, scal, step_aff["z"] * mcorr, step_aff["s"], sigma_mu, v["z"]
+            )
+            rhs_comb = {
+                "x": (1.0 - sigma) * r["rx"],
+                "z": (1.0 - sigma) * r["rz"],
+                "s": rhs_aff["s"] + shift,
+                "tau": (1.0 - sigma) * r["rtau"],
+                "kappa": -sigma_mu
+                + mcorr * step_aff["tau"] * step_aff["kappa"]
+                + v["tau"] * v["kappa"],
+            }
+            step_comb, okcb = kkt_step(fac, x2, z2, v, scal, rhs_comb, False)
+            kkt_ok = kkt_ok & okcb
+
+            # --- numerical-error checkpoint (solver.jl:475-489)
+            if not sym:
+                ne_retry = proceed & ~kkt_ok & (scaling == PRIMAL_DUAL)
+                scaling = jnp.where(ne_retry, DUAL_ONLY, scaling).astype(jnp.int32)
+            else:
+                ne_retry = jnp.asarray(False)
+            ne_fail = proceed & ~kkt_ok & ~ne_retry
+            status = jnp.where(ne_fail, int(S.NUMERICAL_ERROR), status).astype(
+                jnp.int32
+            )
+            active = proceed & kkt_ok
+
+            # --- final step length + small-step checkpoint
+            # (solver.jl:337-344,492-505)
+            alpha = get_step_length(v, step_comb, scaling, combined=True)
+            if not sym:
+                small_switch = (
+                    active
+                    & (scaling == PRIMAL_DUAL)
+                    & (alpha < st.min_switch_step_length)
+                )
+                scaling = jnp.where(small_switch, DUAL_ONLY, scaling).astype(
+                    jnp.int32
+                )
+            else:
+                small_switch = jnp.asarray(False)
+            small_fail = (
+                active
+                & ~small_switch
+                & (alpha <= max(0.0, st.min_terminate_step_length))
+            )
+            status = jnp.where(
+                small_fail, int(S.INSUFFICIENT_PROGRESS), status
+            ).astype(jnp.int32)
+
+            commit = active & ~small_switch & ~small_fail
+
+            # --- commit step (variables.jl:92-104) + save prev iterate
+            new_vars = {
+                "x": v["x"] + alpha * step_comb["x"],
+                "s": v["s"] + alpha * step_comb["s"],
+                "z": v["z"] + alpha * step_comb["z"],
+                "tau": v["tau"] + alpha * step_comb["tau"],
+                "kappa": v["kappa"] + alpha * step_comb["kappa"],
+            }
+            vars_out = where_tree(commit, new_vars, v)
+            prev_vars_out = where_tree(commit, v, s_["prev_vars"])
+            prev_info_out = where_tree(commit, info, s_["prev_info"])
+
+            return {
+                "vars": vars_out,
+                "prev_vars": prev_vars_out,
+                "info": info,
+                "prev_info": prev_info_out,
+                "iter": it,
+                "status": status,
+                "scaling": scaling,
+                "mu": mu,
+                "alpha": jnp.where(commit, alpha, 0.0),
+                "sigma": sigma,
+            }
+
+        final = jax.lax.while_loop(loop_cond, loop_body, state0)
+
+        # -------------------- post-processing
+        info = final["info"]
+        status = final["status"]
+
+        # "almost" convergence on errored / limit exits (info.jl:198-214)
+        errored_or_limit = (
+            (status == int(S.NUMERICAL_ERROR))
+            | (status == int(S.INSUFFICIENT_PROGRESS))
+            | (status == int(S.MAX_ITERATIONS))
+            | (status == int(S.MAX_TIME))
+        )
+        almost = check_convergence(
+            info,
+            st.reduced_tol_gap_abs, st.reduced_tol_gap_rel, st.reduced_tol_feas,
+            st.reduced_tol_infeas_abs, st.reduced_tol_infeas_rel,
+            st.reduced_tol_ktratio,
+            int(S.ALMOST_SOLVED),
+            int(S.ALMOST_PRIMAL_INFEASIBLE),
+            int(S.ALMOST_DUAL_INFEASIBLE),
+        )
+        status = jnp.where(
+            errored_or_limit & (almost != int(S.UNSOLVED)), almost, status
+        ).astype(jnp.int32)
+
+        is_infeasible = (
+            (status == int(S.PRIMAL_INFEASIBLE))
+            | (status == int(S.DUAL_INFEASIBLE))
+            | (status == int(S.ALMOST_PRIMAL_INFEASIBLE))
+            | (status == int(S.ALMOST_DUAL_INFEASIBLE))
+        )
+
+        # unscale (variables.jl:247-275)
+        v = final["vars"]
+        scaleinv = jnp.where(is_infeasible, 1.0 / v["kappa"], 1.0 / v["tau"])
+        x_out = v["x"] * d * scaleinv
+        z_out = v["z"] * e * (scaleinv * cinv)
+        s_out = v["s"] * einv * scaleinv
+
+        nan = jnp.asarray(float("nan"))
+        obj_val = jnp.where(is_infeasible, nan, info["cost_primal"])
+        obj_val_dual = jnp.where(is_infeasible, nan, info["cost_dual"])
+
+        return {
+            "x": x_out,
+            "s": s_out,
+            "z": z_out,
+            "tau": v["tau"] * scaleinv,
+            "kappa": v["kappa"] * scaleinv,
+            "status": status,
+            "obj_val": obj_val,
+            "obj_val_dual": obj_val_dual,
+            "iterations": final["iter"],
+            "r_prim": info["res_primal"],
+            "r_dual": info["res_dual"],
+            "gap_abs": info["gap_abs"],
+            "gap_rel": info["gap_rel"],
+            "ktratio": info["ktratio"],
+            "mu": final["mu"],
+            "step_length": final["alpha"],
+            "sigma": final["sigma"],
+        }
+
+    return jax.jit(solve)

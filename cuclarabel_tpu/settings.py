@@ -1,0 +1,115 @@
+"""User-facing solver settings.
+
+Parity with the reference `Settings{T}` kwdef struct
+(`src/settings.jl:70-148`), plus TPU-specific knobs (factorization
+precision and KKT backend selection).
+
+The dataclass is frozen and hashable so that a `Settings` instance can
+key the jit cache: the jitted solve function is specialized on the
+settings (tolerances are baked in as compile-time constants, which lets
+XLA fold them).
+"""
+
+import dataclasses
+from typing import Optional
+import numpy as np
+
+_F64_EPS = float(np.finfo(np.float64).eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    # main algorithm settings (src/settings.jl:72-75)
+    max_iter: int = 200
+    time_limit: float = float("inf")
+    verbose: bool = False
+    max_step_fraction: float = 0.99
+
+    # full accuracy tolerances (src/settings.jl:78-83)
+    tol_gap_abs: float = 1e-8
+    tol_gap_rel: float = 1e-8
+    tol_feas: float = 1e-8
+    tol_infeas_abs: float = 1e-8
+    tol_infeas_rel: float = 1e-8
+    tol_ktratio: float = 1e-6
+
+    # reduced ("almost solved") tolerances (src/settings.jl:90-95)
+    reduced_tol_gap_abs: float = 5e-5
+    reduced_tol_gap_rel: float = 5e-5
+    reduced_tol_feas: float = 1e-4
+    reduced_tol_infeas_abs: float = 5e-12
+    reduced_tol_infeas_rel: float = 5e-5
+    reduced_tol_ktratio: float = 1e-4
+
+    # data equilibration (src/settings.jl:98-101)
+    equilibrate_enable: bool = True
+    equilibrate_max_iter: int = 10
+    equilibrate_min_scaling: float = 1e-4
+    equilibrate_max_scaling: float = 1e4
+
+    # cones & line search (src/settings.jl:104-106)
+    linesearch_backtrack_step: float = 0.8
+    min_switch_step_length: float = 1e-1
+    min_terminate_step_length: float = 1e-4
+
+    # linear solver selection.
+    # "dense" = blocked dense quasidefinite LDL'/LU on device (TPU MXU path).
+    # "auto" resolves to "dense" for now; a block-sparse backend will
+    # register here later (mirrors the backend registry of
+    # src/kktsolvers/direct-ldl/directldl_defaults.jl).
+    direct_solve_method: str = "auto"
+    max_threads: int = 0
+
+    # factorization precision: "auto" picks float32+IR on TPU backends
+    # and float64 elsewhere; or force "float32"/"float64".
+    kkt_factor_precision: str = "auto"
+
+    # static regularization (src/settings.jl:117-119)
+    static_regularization_enable: bool = True
+    static_regularization_constant: float = 1e-8
+    static_regularization_proportional: float = _F64_EPS * _F64_EPS
+
+    # dynamic regularization (src/settings.jl:122-124)
+    dynamic_regularization_enable: bool = True
+    dynamic_regularization_eps: float = 1e-13
+    dynamic_regularization_delta: float = 2e-7
+
+    # iterative refinement (src/settings.jl:127-132)
+    iterative_refinement_enable: bool = True
+    iterative_refinement_reltol: float = 1e-13
+    iterative_refinement_abstol: float = 1e-12
+    iterative_refinement_max_iter: int = 10
+    iterative_refinement_stop_ratio: float = 5.0
+
+    # preprocessing (src/settings.jl:135-136)
+    presolve_enable: bool = True
+    input_sparse_dropzeros: bool = False
+
+    # chordal decomposition (src/settings.jl:139-142)
+    chordal_decomposition_enable: bool = True
+    chordal_decomposition_merge_method: str = "clique_graph"
+    chordal_decomposition_compact: bool = True
+    chordal_decomposition_complete_dual: bool = True
+
+    def replace(self, **kwargs) -> "Settings":
+        return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Settings":
+        """Populate from a dict (mirrors settings_populate!,
+        src/settings.jl:160-166)."""
+        valid = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - valid
+        if unknown:
+            raise ValueError(f"unknown settings: {sorted(unknown)}")
+        return cls(**d)
+
+    def validate(self) -> None:
+        if self.max_iter < 0:
+            raise ValueError("max_iter must be nonnegative")
+        if not (0.0 < self.max_step_fraction <= 1.0):
+            raise ValueError("max_step_fraction must be in (0, 1]")
+        if self.kkt_factor_precision not in ("auto", "float32", "float64"):
+            raise ValueError("kkt_factor_precision must be auto|float32|float64")
+        if self.direct_solve_method not in ("auto", "dense"):
+            raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")

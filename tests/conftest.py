@@ -1,0 +1,22 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+sharding tests work without TPU hardware, and with x64 enabled.
+
+NB: the surrounding environment may force-register a TPU plugin at
+interpreter startup (sitecustomize), so setting JAX_PLATFORMS in the
+environment is not sufficient — we must override the platform via
+jax.config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
