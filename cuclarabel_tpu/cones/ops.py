@@ -596,7 +596,8 @@ def _soc_step_limit(layout, x, dx, amax):
     return jnp.minimum(jnp.min(jnp.minimum(cand, a0), initial=FMAX), amax)
 
 
-def step_length(layout: ConeLayout, dz, ds, z, s, alpha_max, settings):
+def step_length(layout: ConeLayout, state: ScalingState, dz, ds, z, s,
+                alpha_max, settings):
     """Max feasible step in all cones.  Symmetric cones first; if
     nonsymmetric cones are present, back off to 1-sqrt(eps) before
     running their backtracking searches
@@ -611,7 +612,9 @@ def step_length(layout: ConeLayout, dz, ds, z, s, alpha_max, settings):
     if layout.has_psd:
         from . import psd as psdcone
 
-        alpha = jnp.minimum(alpha, psdcone.step_length(layout, dz, ds, z, s, alpha_max))
+        alpha = jnp.minimum(
+            alpha, psdcone.step_length(layout, state, dz, ds, z, s, alpha_max)
+        )
 
     if layout.has_nonsymmetric:
         alpha = jnp.minimum(alpha, 1.0 - np.sqrt(EPS))

@@ -262,12 +262,12 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             )
 
         # -------------------- step length (variables.jl:14-43)
-        def get_step_length(v, step, scaling, combined: bool):
+        def get_step_length(v, step, scal, scaling, combined: bool):
             atau = jnp.where(step["tau"] < 0, -v["tau"] / step["tau"], FMAX)
             akappa = jnp.where(step["kappa"] < 0, -v["kappa"] / step["kappa"], FMAX)
             amax = jnp.minimum(jnp.minimum(atau, akappa), 1.0)
             alpha = cone_ops.step_length(
-                layout, step["z"], step["s"], v["z"], v["s"], amax, st
+                layout, scal, step["z"], step["s"], v["z"], v["s"], amax, st
             )
             if combined:
                 alpha = alpha * st.max_step_fraction
@@ -412,7 +412,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             step_aff, oka = kkt_step(fac, x2, z2, v, scal, rhs_aff, True)
             kkt_ok = kkt_ok & oka
 
-            alpha_aff = get_step_length(v, step_aff, scaling, combined=False)
+            alpha_aff = get_step_length(v, step_aff, scal, scaling, combined=False)
             sigma = (1.0 - alpha_aff) ** 3  # Mehrotra (solver.jl:446-449)
             # reduced correction on the first iteration (solver.jl:305-307)
             mcorr = jnp.where(it > 1, 1.0, alpha_aff)
@@ -448,7 +448,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
             # --- final step length + small-step checkpoint
             # (solver.jl:337-344,492-505)
-            alpha = get_step_length(v, step_comb, scaling, combined=True)
+            alpha = get_step_length(v, step_comb, scal, scaling, combined=True)
             if not sym:
                 small_switch = (
                     active
