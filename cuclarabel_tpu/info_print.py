@@ -1,0 +1,101 @@
+"""Console progress reporting: banner, configuration summary,
+per-iteration table, footer.
+
+Parity with the reference's `src/info_print.jl` (banner/configuration
+at 2-120, per-iteration status line at 122-160).  Because the IPM loop
+is one fused device program, iteration rows are recorded into a device
+history buffer (ipm/loop.py) and printed post-hoc here rather than
+streamed — the TPU-native equivalent of the reference's streaming
+@printf lines.
+"""
+
+import numpy as np
+
+from . import __version__ as _version_pkg
+
+
+def _count_cones(cones):
+    from .cones import api
+
+    by_type = {}
+    for c in cones:
+        by_type.setdefault(type(c).__name__, []).append(api.nvars(c))
+    return by_type
+
+
+def print_banner(settings) -> None:
+    print("-------------------------------------------------------------")
+    print(f"           cuclarabel_tpu v{_version()} - TPU-native conic IPM")
+    print("             (c) 2026 — behavioral parity: Clarabel v0.11")
+    print("-------------------------------------------------------------")
+
+
+def _version():
+    from . import __version__
+
+    return __version__
+
+
+def print_configuration(settings, n, m, cones, has_P, backend: str) -> None:
+    print(f"problem:\n  variables     = {n}")
+    print(f"  constraints   = {m}")
+    by_type = _count_cones(cones)
+    print(f"  cones (total) = {len(cones)}")
+    for name, dims in sorted(by_type.items()):
+        dmin, dmax = min(dims), max(dims)
+        rng = f"{dmin}" if dmin == dmax else f"{dmin} .. {dmax}"
+        print(f"    : {name:<18s} = {len(dims)},  numel = ({rng})")
+    print("settings:")
+    print(f"  linear algebra: dense KKT backend = {backend}")
+    print(
+        f"  max iter = {settings.max_iter}, time limit = "
+        f"{settings.time_limit},  max step = {settings.max_step_fraction:.3f}"
+    )
+    print(
+        f"  tol_feas = {settings.tol_feas:.1e}, tol_gap_abs = "
+        f"{settings.tol_gap_abs:.1e}, tol_gap_rel = {settings.tol_gap_rel:.1e}"
+    )
+    print(
+        f"  static reg : {'on' if settings.static_regularization_enable else 'off'}"
+        f", eps1 = {settings.static_regularization_constant:.1e}"
+    )
+    print(
+        f"  iter refine: {'on' if settings.iterative_refinement_enable else 'off'}"
+        f", reltol = {settings.iterative_refinement_reltol:.1e}, "
+        f"abstol = {settings.iterative_refinement_abstol:.1e}"
+    )
+    print(
+        f"  equilibrate: {'on' if settings.equilibrate_enable else 'off'}, "
+        f"min_scale = {settings.equilibrate_min_scaling:.1e}, "
+        f"max_scale = {settings.equilibrate_max_scaling:.1e}"
+    )
+
+
+_HEADER = (
+    "iter    pcost        dcost       gap       pres      dres      "
+    "k/t        μ       step"
+)
+
+
+def print_iteration_history(hist: np.ndarray, niter: int) -> None:
+    """hist rows: [pcost, dcost, gap_rel, pres, dres, ktratio, mu,
+    step, iter]."""
+    print(_HEADER)
+    print("-" * len(_HEADER))
+    for i in range(min(niter + 1, hist.shape[0])):
+        row = hist[i]
+        step = "------" if i == 0 else f"{row[7]:.2e}"
+        print(
+            f"{i:3d}  {row[0]:+.4e}  {row[1]:+.4e}  {row[2]:.2e}  "
+            f"{row[3]:.2e}  {row[4]:.2e}  {row[5]:.2e}  {row[6]:.2e}  {step}"
+        )
+
+
+def print_footer(solution) -> None:
+    from .statuscodes import status_to_string
+
+    print("-" * len(_HEADER))
+    print(
+        f"Terminated with status = {status_to_string(solution.status)}"
+    )
+    print(f"solve time = {solution.solve_time*1e3:.2f}ms")

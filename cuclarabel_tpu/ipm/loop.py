@@ -56,11 +56,12 @@ def _norm_scaled(w, v):
 
 
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
-                  factor_dtype):
+                  factor_dtype, raw: bool = False):
     """Builds the jitted solve function for this (layout, settings,
     dims) signature.  The returned fn maps a dict of device arrays
     {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
-    pytree."""
+    pytree.  With raw=True returns the traceable (unjitted) function for
+    composition under vmap/shard_map (parallel/batch.py)."""
 
     sym = layout.is_symmetric
     deg1 = layout.degree + 1
@@ -356,6 +357,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             "alpha": jnp.asarray(0.0),
             "sigma": jnp.asarray(1.0),
         }
+        if st.verbose:
+            # per-iteration progress table, written on device and printed
+            # post-hoc on the host (TPU equivalent of the reference's
+            # streaming print_status line, info_print.jl:122-160)
+            state0["hist"] = jnp.zeros((st.max_iter + 1, 9))
 
         def loop_cond(s_):
             return s_["status"] == int(S.UNSOLVED)
@@ -368,6 +374,22 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             mu = (r["sz"] + v["tau"] * v["kappa"]) / deg1
             info = info_update(r, v)
             status = check_termination(info, s_["prev_info"], s_["iter"])
+
+            if st.verbose:
+                row = jnp.stack(
+                    [
+                        info["cost_primal"],
+                        info["cost_dual"],
+                        info["gap_rel"],
+                        info["res_primal"],
+                        info["res_dual"],
+                        info["ktratio"],
+                        mu,
+                        s_["alpha"],
+                        s_["iter"].astype(jnp.float64),
+                    ]
+                )
+                hist = s_["hist"].at[s_["iter"]].set(row)
 
             # --- insufficient-progress checkpoint (solver.jl:453-472)
             if not sym:
@@ -483,7 +505,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             prev_vars_out = where_tree(commit, v, s_["prev_vars"])
             prev_info_out = where_tree(commit, info, s_["prev_info"])
 
-            return {
+            out = {
                 "vars": vars_out,
                 "prev_vars": prev_vars_out,
                 "info": info,
@@ -495,6 +517,9 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "alpha": jnp.where(commit, alpha, 0.0),
                 "sigma": sigma,
             }
+            if st.verbose:
+                out["hist"] = hist
+            return out
 
         final = jax.lax.while_loop(loop_cond, loop_body, state0)
 
@@ -540,7 +565,9 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         obj_val = jnp.where(is_infeasible, nan, info["cost_primal"])
         obj_val_dual = jnp.where(is_infeasible, nan, info["cost_dual"])
 
+        result_extra = {"hist": final["hist"]} if st.verbose else {}
         return {
+            **result_extra,
             "x": x_out,
             "s": s_out,
             "z": z_out,
@@ -560,4 +587,4 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             "sigma": final["sigma"],
         }
 
-    return jax.jit(solve)
+    return solve if raw else jax.jit(solve)

@@ -1,0 +1,262 @@
+"""Batched & sharded problem solving — the solver's data-parallel axis.
+
+The reference is a single-process, single-problem solver (SURVEY.md
+§2.9); its only structural parallelism is per-cone independence.  The
+TPU-native scale-out axis is *problem batching*: many conic programs
+with the same structure (same cone layout, same dimensions, different
+numeric data) solve as one `vmap`-ed device program, sharded over a
+`jax.sharding.Mesh` so each chip carries a slab of the batch.  Batched
+problems need no cross-problem communication at all — scaling to a pod
+slice is embarrassingly parallel over ICI.
+
+Because the whole IPM loop (ipm/loop.py) is functional and jit-shaped,
+batching is literally `vmap(solve_one)`: every cone kernel, the dense
+KKT factorization, and the iterative-refinement `while_loop` batch
+transparently.  Ruiz equilibration moves on-device here (a `fori_loop`
+mirror of the host path in equilibration.py) so that per-problem
+scalings stay inside the one compiled program.
+
+Note: the batched path skips presolve (host-side row elimination would
+give ragged per-problem shapes; the batch shares one static shape).
+"""
+
+from functools import lru_cache
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..cones import api
+from ..cones.api import cones_collapsed
+from ..cones.layout import build_layout
+from ..infinity import get_infinity
+from ..ipm.loop import make_solve_fn
+from ..settings import Settings
+from ..solver import DefaultSolution, _resolve_factor_dtype
+from ..statuscodes import SolverStatus
+
+
+def _rect_plan(layout):
+    """Static segment plan for cone rectification: seg id per row of
+    the m-vector for cones that need scalar equilibration, -1 elsewhere
+    (rectify_equilibration!, coneops_defaults.jl:32-44)."""
+    seg = np.full(layout.m, -1, dtype=np.int32)
+    ranges = layout.rectification_ranges()
+    for i, (lo, hi) in enumerate(ranges):
+        seg[lo:hi] = i
+    return seg, len(ranges)
+
+
+def device_equilibrate(P, A, q, b, layout, settings):
+    """On-device Ruiz equilibration; jnp mirror of
+    equilibration.ruiz_equilibrate (data_equilibrate!,
+    src/problemdata.jl:133-221).  Returns the device dict consumed by
+    the IPM solve function."""
+    n = q.shape[0]
+    m = b.shape[0]
+    normq = jnp.max(jnp.abs(q)) if n else jnp.asarray(0.0)
+    normb = jnp.max(jnp.abs(b)) if m else jnp.asarray(0.0)
+
+    d = jnp.ones(n)
+    e = jnp.ones(m)
+    c = jnp.asarray(1.0)
+
+    if settings.equilibrate_enable:
+        smin = settings.equilibrate_min_scaling
+        smax = settings.equilibrate_max_scaling
+
+        def body(_, carry):
+            P, A, q, b, d, e, c = carry
+            colP = jnp.max(jnp.abs(P), axis=0)
+            colA = jnp.max(jnp.abs(A), axis=0)
+            dwork = jnp.maximum(colP, colA)
+            ework = jnp.max(jnp.abs(A), axis=1)
+            dwork = 1.0 / jnp.sqrt(jnp.where(dwork == 0.0, 1.0, dwork))
+            ework = 1.0 / jnp.sqrt(jnp.where(ework == 0.0, 1.0, ework))
+            dwork = jnp.clip(dwork, smin / d, smax / d)
+            ework = jnp.clip(ework, smin / e, smax / e)
+
+            P = P * dwork[None, :] * dwork[:, None]
+            A = A * dwork[None, :] * ework[:, None]
+            q = q * dwork
+            b = b * ework
+            d = d * dwork
+            e = e * ework
+
+            mean_col_P = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+            inf_q = jnp.max(jnp.abs(q))
+            ctmp = 1.0 / jnp.maximum(jnp.maximum(inf_q, mean_col_P), 1e-300)
+            ctmp = jnp.clip(ctmp, smin / c, smax / c)
+            ctmp = jnp.where((mean_col_P != 0.0) & (inf_q != 0.0), ctmp, 1.0)
+            return (P * ctmp, A, q * ctmp, b, d, e, c * ctmp)
+
+        P, A, q, b, d, e, c = jax.lax.fori_loop(
+            0, settings.equilibrate_max_iter, body, (P, A, q, b, d, e, c)
+        )
+
+        seg, nrect = _rect_plan(layout)
+        if nrect:
+            segj = jnp.asarray(seg)
+            valid = segj >= 0
+            segc = jnp.where(valid, segj, 0)
+            sums = jax.ops.segment_sum(jnp.where(valid, e, 0.0), segc, nrect)
+            cnts = jax.ops.segment_sum(jnp.where(valid, 1.0, 0.0), segc, nrect)
+            mean_e = sums / jnp.maximum(cnts, 1.0)
+            delta = jnp.where(valid, mean_e[segc] / e, 1.0)
+            A = A * delta[:, None]
+            b = b * delta
+            e = e * delta
+
+    return {
+        "P": P,
+        "q": q,
+        "A": A,
+        "b": b,
+        "d": d,
+        "dinv": 1.0 / d,
+        "e": e,
+        "einv": 1.0 / e,
+        "cscale": c,
+        "normq": normq,
+        "normb": normb,
+    }
+
+
+@lru_cache(maxsize=64)
+def make_batch_solve_fn(
+    layout,
+    settings: Settings,
+    n: int,
+    m: int,
+    has_P: bool,
+    factor_dtype_name: str,
+    mesh_shape: Optional[tuple] = None,
+):
+    """Jitted batched solve: (P, A, q, b) with leading batch axis ->
+    batched solution dict.  With mesh_shape=(k,) the batch axis shards
+    over a k-device mesh ('batch' axis — the dp axis of this workload).
+    """
+    factor_dtype = jnp.float32 if factor_dtype_name == "float32" else jnp.float64
+    base = make_solve_fn(layout, settings, n, m, has_P, factor_dtype, raw=True)
+
+    def solve_one(P, A, q, b):
+        b = jnp.minimum(b, get_infinity())  # problemdata.jl:58-62
+        dev = device_equilibrate(P, A, q, b, layout, settings)
+        return base(dev)
+
+    batched = jax.vmap(solve_one)
+
+    if mesh_shape is None:
+        return jax.jit(batched)
+
+    devices = np.asarray(jax.devices()[: int(np.prod(mesh_shape))]).reshape(
+        mesh_shape
+    )
+    mesh = Mesh(devices, axis_names=("batch",))
+    shard = NamedSharding(mesh, PartitionSpec("batch"))
+    repl = NamedSharding(mesh, PartitionSpec())
+    # out: every leaf carries the batch axis
+    return jax.jit(
+        batched,
+        in_shardings=(shard, shard, shard, shard),
+        out_shardings=shard,
+    )
+
+
+class BatchSolver:
+    """Solve a batch of structurally identical conic programs.
+
+    P: (n,n) or (B,n,n); A: (m,n) or (B,m,n); q: (B,n); b: (B,m).
+    All problems share the cone layout; numeric data varies freely.
+    With n_devices > 1 the batch shards across the first n_devices of
+    `jax.devices()`.
+    """
+
+    def __init__(
+        self,
+        P,
+        q,
+        A,
+        b,
+        cones: Sequence[api.SupportedCone],
+        settings: Optional[Settings] = None,
+        n_devices: int = 1,
+        **kwargs,
+    ):
+        settings = settings or Settings()
+        if kwargs:
+            settings = settings.replace(**kwargs)
+        # batched path: no host presolve (shapes must stay uniform)
+        settings = settings.replace(presolve_enable=False)
+        settings.validate()
+        self.settings = settings
+
+        q = np.asarray(q, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        if q.ndim != 2 or b.ndim != 2 or q.shape[0] != b.shape[0]:
+            raise ValueError("q must be (B,n) and b (B,m) with equal B")
+        B, n = q.shape
+        m = b.shape[1]
+
+        def batchify(M, shape):
+            M = np.zeros(shape) if M is None else np.asarray(
+                M.toarray() if hasattr(M, "toarray") else M, dtype=np.float64
+            )
+            if M.ndim == 2:
+                M = np.broadcast_to(M, (B,) + M.shape)
+            if M.shape != (B,) + shape:
+                raise ValueError(f"expected {(B,) + shape}, got {M.shape}")
+            return M
+
+        Pd = batchify(P, (n, n))
+        Pd = np.triu(Pd) + np.transpose(np.triu(Pd, 1), (0, 2, 1))
+        Ad = batchify(A, (m, n))
+
+        cones = cones_collapsed(list(cones))
+        self.layout = build_layout(tuple(cones))
+        if self.layout.m != m:
+            raise ValueError("cone dimensions inconsistent with b")
+        self._has_P = bool(np.any(Pd != 0.0))
+        self.B, self.n, self.m = B, n, m
+
+        mesh_shape = (n_devices,) if n_devices > 1 else None
+        if n_devices > 1 and B % n_devices != 0:
+            raise ValueError("batch size must divide evenly across devices")
+        self._fn = make_batch_solve_fn(
+            self.layout,
+            settings,
+            n,
+            m,
+            self._has_P,
+            _resolve_factor_dtype(settings),
+            mesh_shape,
+        )
+        self._args = (
+            jnp.asarray(Pd),
+            jnp.asarray(Ad),
+            jnp.asarray(q),
+            jnp.asarray(b),
+        )
+
+    def solve(self):
+        out = jax.device_get(self._fn(*self._args))
+        sols = []
+        for i in range(self.B):
+            sols.append(
+                DefaultSolution(
+                    x=np.asarray(out["x"][i]),
+                    z=np.asarray(out["z"][i]),
+                    s=np.asarray(out["s"][i]),
+                    status=SolverStatus(int(out["status"][i])),
+                    obj_val=float(out["obj_val"][i]),
+                    obj_val_dual=float(out["obj_val_dual"][i]),
+                    solve_time=0.0,
+                    iterations=int(out["iterations"][i]),
+                    r_prim=float(out["r_prim"][i]),
+                    r_dual=float(out["r_dual"][i]),
+                )
+            )
+        self.raw = out
+        return sols

@@ -132,11 +132,14 @@ class Solver:
         cones = cones_collapsed(cones)
 
         # presolve (presolver.jl)
+        self.timers = {"setup": {}, "solve": {}}
+        t_ps = time.perf_counter()
         infbound = get_infinity()
         self.presolver = presolve_mod.try_presolve(cones, b, self.settings, infbound)
         if self.presolver is not None:
             Ad, b, cones = presolve_mod.apply_presolve(self.presolver, Ad, b, cones)
             m = b.shape[0]
+        self.timers["setup"]["presolve"] = time.perf_counter() - t_ps
 
         # cap b at INFINITY (problemdata.jl:58-62)
         b = np.minimum(b, infbound)
@@ -151,11 +154,18 @@ class Solver:
         normb = float(np.abs(b).max()) if m > 0 else 0.0
 
         # Ruiz equilibration, once at setup (solver.jl:131-136)
+        t_eq = time.perf_counter()
         Pd, Ad, qs, bs, d, e, c = ruiz_equilibrate(
             Pd, Ad, q, b, self.layout, self.settings
         )
+        self.timers["setup"]["equilibration"] = time.perf_counter() - t_eq
 
         self.n, self.m = n, m
+        # scaled host copies kept for update_data!/save_to_file
+        self._cones = list(cones)
+        self._Ps, self._As = Pd, Ad
+        self._qs, self._bs = qs, bs
+        self._d, self._e, self._c = d, e, c
         self._dev = {
             "P": jnp.asarray(Pd),
             "q": jnp.asarray(qs),
@@ -180,11 +190,20 @@ class Solver:
 
     # ------------------------------------------------------------------
     def solve(self) -> DefaultSolution:
+        if self.settings.verbose:
+            from . import info_print
+
+            info_print.print_banner(self.settings)
+            info_print.print_configuration(
+                self.settings, self.n, self.m, self._cones, self._has_P,
+                self.settings.direct_solve_method,
+            )
         t0 = time.perf_counter()
         out = self._solve_fn(self._dev)
         out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
+        self.timers["solve"]["solve"] = solve_time
         status = SolverStatus(int(out["status"]))
         x = np.asarray(out["x"])
         s = np.asarray(out["s"])
@@ -208,7 +227,13 @@ class Solver:
             r_dual=float(out["r_dual"]),
         )
         if self.settings.verbose:
-            print(self.solution)
+            from . import info_print
+
+            if "hist" in out:
+                info_print.print_iteration_history(
+                    np.asarray(out["hist"]), int(out["iterations"])
+                )
+            info_print.print_footer(self.solution)
         return self.solution
 
     # ------------------------------------------------------------------
@@ -217,3 +242,166 @@ class Solver:
 
     def get_info(self) -> Optional[dict]:
         return self.info
+
+    def print_timers(self) -> None:
+        """Hierarchical wall-clock report (print_timers(solver),
+        solver.jl:534; TimerOutputs equivalent)."""
+        for section, entries in self.timers.items():
+            total = sum(entries.values())
+            print(f"{section:<16s} {total*1e3:10.3f} ms")
+            for name, t in entries.items():
+                print(f"  {name:<14s} {t*1e3:10.3f} ms")
+
+    # -- parametric data updating (src/data_updating.jl) ----------------
+    def _check_update_allowed(self):
+        """Updates are forbidden once presolve has reduced rows
+        (check_data_update_allowed, data_updating.jl:149-158)."""
+        if self.presolver is not None:
+            raise ValueError("Data updates not allowed if presolver is active.")
+
+    def is_data_update_allowed(self) -> bool:
+        try:
+            self._check_update_allowed()
+            return True
+        except ValueError:
+            return False
+
+    @staticmethod
+    def _as_update(values, target_shape, what):
+        """Accept a full dense/sparse matrix, a flat row-major value
+        vector, or an (indices, values) pair over flat row-major
+        positions (the dense analog of the reference's nzval /
+        SparseMatrixCSC / zip input forms, data_updating.jl:1-14)."""
+        if isinstance(values, tuple) and len(values) == 2:
+            return ("indexed", np.asarray(values[0], dtype=np.int64),
+                    np.asarray(values[1], dtype=np.float64))
+        if hasattr(values, "toarray"):
+            values = values.toarray()
+        arr = np.asarray(values, dtype=np.float64)
+        if arr.ndim == 1 and len(target_shape) == 2:
+            if arr.size == 0:
+                return None
+            if arr.size != target_shape[0] * target_shape[1]:
+                raise ValueError(f"{what}: flat values must have length "
+                                 f"{target_shape[0] * target_shape[1]}")
+            arr = arr.reshape(target_shape)
+        if arr.shape != target_shape:
+            raise ValueError(f"{what}: expected shape {target_shape}")
+        return ("full", arr, None)
+
+    def update_P(self, P) -> None:
+        """Overwrite P, re-applying the stored equilibration
+        (update_P!, data_updating.jl:56-71): P_int = c * D P D."""
+        if P is None:
+            return
+        self._check_update_allowed()
+        upd = self._as_update(P, (self.n, self.n), "P")
+        if upd is None:
+            return
+        kind, a1, a2 = upd
+        d, c = self._d, self._c
+        if kind == "full":
+            Pd = np.triu(a1) + np.triu(a1, 1).T
+            self._Ps = c * (d[:, None] * Pd * d[None, :])
+        else:
+            rows, cols = np.divmod(a1, self.n)
+            vals = c * d[rows] * d[cols] * a2
+            P_full = np.asarray(self._Ps).copy()
+            P_full[rows, cols] = vals
+            P_full[cols, rows] = vals
+            self._Ps = P_full
+        self._has_P = bool(np.any(self._Ps != 0.0))
+        self._dev["P"] = jnp.asarray(self._Ps)
+        self._refresh_solve_fn()
+
+    def update_A(self, A) -> None:
+        """A_int = E A D (update_A!, data_updating.jl:85-100)."""
+        if A is None:
+            return
+        self._check_update_allowed()
+        upd = self._as_update(A, (self.m, self.n), "A")
+        if upd is None:
+            return
+        kind, a1, a2 = upd
+        d, e = self._d, self._e
+        if kind == "full":
+            self._As = e[:, None] * a1 * d[None, :]
+        else:
+            rows, cols = np.divmod(a1, self.n)
+            A_full = np.asarray(self._As).copy()
+            A_full[rows, cols] = e[rows] * d[cols] * a2
+            self._As = A_full
+        self._dev["A"] = jnp.asarray(self._As)
+
+    def update_q(self, q) -> None:
+        """q_int = c * D q; refreshes the unscaled norm used by the
+        relative termination criteria (update_q!,
+        data_updating.jl:107-124)."""
+        if q is None:
+            return
+        self._check_update_allowed()
+        q = np.asarray(q, dtype=np.float64).ravel()
+        if q.size == 0:
+            return
+        if q.shape[0] != self.n:
+            raise ValueError("q: wrong length")
+        self._qs = self._c * self._d * q
+        self._dev["q"] = jnp.asarray(self._qs)
+        self._dev["normq"] = jnp.asarray(
+            float(np.abs(q).max()) if self.n else 0.0
+        )
+
+    def update_b(self, b) -> None:
+        """b_int = E b (update_b!, data_updating.jl:133-147)."""
+        if b is None:
+            return
+        self._check_update_allowed()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        if b.size == 0:
+            return
+        if b.shape[0] != self.m:
+            raise ValueError("b: wrong length")
+        b = np.minimum(b, get_infinity())
+        self._bs = self._e * b
+        self._dev["b"] = jnp.asarray(self._bs)
+        self._dev["normb"] = jnp.asarray(
+            float(np.abs(b).max()) if self.m else 0.0
+        )
+
+    def update_data(self, P=None, q=None, A=None, b=None) -> None:
+        """update_data! (data_updating.jl:26-39)."""
+        self.update_P(P)
+        self.update_q(q)
+        self.update_A(A)
+        self.update_b(b)
+
+    def _refresh_solve_fn(self):
+        factor_dtype_name = _resolve_factor_dtype(self.settings)
+        self._solve_fn = _cached_solve_fn(
+            self.layout, self.settings, self.n, self.m, self._has_P,
+            factor_dtype_name,
+        )
+
+    # -- JSON I/O (src/json.jl) ------------------------------------------
+    def save_to_file(self, path: str) -> None:
+        """Write the (unscaled) internal problem data as JSON
+        (save_to_file, json.jl:25-56)."""
+        from . import json_io
+
+        dinv = 1.0 / self._d
+        einv = 1.0 / self._e
+        cinv = 1.0 / self._c
+        P = cinv * (dinv[:, None] * np.asarray(self._Ps) * dinv[None, :])
+        q = cinv * dinv * np.asarray(self._qs)
+        A = einv[:, None] * np.asarray(self._As) * dinv[None, :]
+        b = einv * np.asarray(self._bs)
+        json_io.save_problem(self.settings, P, q, A, b, self._cones, path)
+
+    @classmethod
+    def load_from_file(cls, path: str, settings: Optional[Settings] = None):
+        """Create a Solver from a JSON problem file (load_from_file,
+        json.jl:58-87)."""
+        from . import json_io
+
+        P, q, A, b, cones, s = json_io.load_problem(path, settings)
+        return cls(P, q, A, b, cones, settings=s)

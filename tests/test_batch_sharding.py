@@ -1,0 +1,80 @@
+"""Batched + sharded solve tests on the 8-virtual-device CPU mesh
+(conftest.py sets xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+
+import cuclarabel_tpu as cc
+from cuclarabel_tpu.parallel import BatchSolver
+
+
+def portfolio_batch(B=16, nass=8, seed=0):
+    rng = np.random.default_rng(seed)
+    n = nass + 1
+    nfac = 3
+    F = rng.standard_normal((nass, nfac))
+    A_eq = np.zeros((1, n))
+    A_eq[0, :nass] = 1.0
+    A_nn = np.zeros((nass + 1, n))
+    A_nn[:nass, :nass] = -np.eye(nass)
+    A_nn[nass, nass] = -1.0
+    A_soc = np.zeros((nfac + 1, n))
+    A_soc[0, nass] = -1.0
+    A_soc[1:, :nass] = -F.T
+    A = np.vstack([A_eq, A_nn, A_soc])
+    qs = np.zeros((B, n))
+    bs = np.zeros((B, A.shape[0]))
+    for i in range(B):
+        qs[i] = np.concatenate([-rng.standard_normal(nass) * 0.1, [1.0]])
+        bs[i, 0] = 1.0
+    cones = [
+        cc.ZeroConeT(1),
+        cc.NonnegativeConeT(nass + 1),
+        cc.SecondOrderConeT(nfac + 1),
+    ]
+    return A, qs, bs, cones
+
+
+def test_batch_matches_single():
+    A, qs, bs, cones = portfolio_batch(B=4)
+    sols = BatchSolver(None, qs, A, bs, cones).solve()
+    assert all(s.status == cc.SolverStatus.SOLVED for s in sols)
+    for i in (0, 3):
+        ref = cc.Solver(
+            None, qs[i], A, bs[i], cones, presolve_enable=False
+        ).solve()
+        assert abs(ref.obj_val - sols[i].obj_val) < 1e-8
+        assert np.linalg.norm(ref.x - sols[i].x) < 1e-6
+
+
+def test_batch_sharded_8dev():
+    assert len(jax.devices()) >= 8
+    A, qs, bs, cones = portfolio_batch(B=16)
+    sols = BatchSolver(None, qs, A, bs, cones, n_devices=8).solve()
+    assert all(s.status == cc.SolverStatus.SOLVED for s in sols)
+    # budget constraint holds for every scenario
+    for s in sols:
+        assert abs(s.x[:-1].sum() - 1.0) < 1e-6
+
+
+def test_batched_varying_P_and_A():
+    """Per-problem P and A values (same sparsity structure)."""
+    rng = np.random.default_rng(1)
+    B, nvar = 6, 5
+    Ps, As, qs, bs = [], [], [], []
+    for i in range(B):
+        F = rng.standard_normal((nvar, nvar))
+        Ps.append(F @ F.T + np.eye(nvar))
+        As.append(np.vstack([np.ones((1, nvar)), -np.eye(nvar)]))
+        qs.append(rng.standard_normal(nvar))
+        bs.append(np.concatenate([[1.0], np.zeros(nvar)]))
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(nvar)]
+    sols = BatchSolver(
+        np.stack(Ps), np.stack(qs), np.stack(As), np.stack(bs), cones
+    ).solve()
+    for i, s in enumerate(sols):
+        assert s.status == cc.SolverStatus.SOLVED
+        ref = cc.Solver(
+            Ps[i], qs[i], As[i], bs[i], cones, presolve_enable=False
+        ).solve()
+        assert abs(ref.obj_val - s.obj_val) < 1e-7
