@@ -141,6 +141,24 @@ class Solver:
             m = b.shape[0]
         self.timers["setup"]["presolve"] = time.perf_counter() - t_ps
 
+        # chordal decomposition of PSD cones (problemdata.jl:40-45)
+        self.chordal_info = None
+        if self.settings.chordal_decomposition_enable and any(
+            isinstance(c, api.PSDTriangleConeT) for c in cones
+        ):
+            from .chordal import ChordalInfo, decomp_augment
+
+            t_ch = time.perf_counter()
+            info = ChordalInfo(Ad, b, cones, self.settings)
+            if info.is_decomposed():
+                Pd, q, Ad, b, cones = decomp_augment(
+                    info, Pd, q, Ad, b, self.settings
+                )
+                n = q.shape[0]
+                m = b.shape[0]
+                self.chordal_info = info
+            self.timers["setup"]["chordal"] = time.perf_counter() - t_ch
+
         # cap b at INFINITY (problemdata.jl:58-62)
         b = np.minimum(b, infbound)
 
@@ -209,7 +227,12 @@ class Solver:
         s = np.asarray(out["s"])
         z = np.asarray(out["z"])
 
+        # reverse chordal decomposition (solution.jl:30-34), then
         # reverse presolve (solution.jl:36-42)
+        if self.chordal_info is not None:
+            from .chordal import decomp_reverse
+
+            x, s, z = decomp_reverse(self.chordal_info, x, s, z, self.settings)
         if self.presolver is not None:
             s, z = presolve_mod.reverse_presolve(self.presolver, s, z)
 
@@ -258,6 +281,10 @@ class Solver:
         (check_data_update_allowed, data_updating.jl:149-158)."""
         if self.presolver is not None:
             raise ValueError("Data updates not allowed if presolver is active.")
+        if getattr(self, "chordal_info", None) is not None:
+            raise ValueError(
+                "Data updates not allowed if chordal decomposition is active."
+            )
 
     def is_data_update_allowed(self) -> bool:
         try:
