@@ -90,6 +90,37 @@ def connect_graph(cols: List[List[int]]) -> None:
             cols[j] = sorted(set(cols[j]) | {j + 1})
 
 
+def _native_symbolic(pat_u: np.ndarray):
+    """Filled-pattern column lists via the native C++ LDL kernel
+    (a diagonally dominant numeric factor on the pattern yields exactly
+    the symbolic fill).  Returns None if the native library is absent."""
+    try:
+        from ..native import QDLDLFactor, get_lib
+    except Exception:
+        return None
+    if get_lib() is None:
+        return None
+    n = pat_u.shape[0]
+    Ap = [0]
+    Ai, Ax = [], []
+    for j in range(n):
+        for i in range(j + 1):
+            if pat_u[i, j] or i == j:
+                Ai.append(i)
+                Ax.append(float(n + 1) if i == j else 1.0)
+        Ap.append(len(Ai))
+    fac = QDLDLFactor(
+        n, np.asarray(Ap), np.asarray(Ai),
+        np.ones(n, dtype=np.int64), reg_enable=False,
+    )
+    if not fac.refactor(np.asarray(Ax)):
+        return None
+    return [
+        sorted(int(r) for r in fac.Li[fac.Lp[j] : fac.Lp[j + 1]])
+        for j in range(n)
+    ]
+
+
 def find_graph(nz_mask: np.ndarray, nv: int) -> Tuple[List[List[int]], np.ndarray]:
     """From the svec aggregate-sparsity mask of one PSD cone, compute
     (L column patterns, ordering) of the permuted filled graph
@@ -110,7 +141,9 @@ def find_graph(nz_mask: np.ndarray, nv: int) -> Tuple[List[List[int]], np.ndarra
     pat_p = pat[np.ix_(perm, perm)]
     pat_u = np.triu(pat_p)
 
-    parent = etree(pat_u)
-    cols = symbolic_cholesky(pat_u, parent)
+    cols = _native_symbolic(pat_u)
+    if cols is None:
+        parent = etree(pat_u)
+        cols = symbolic_cholesky(pat_u, parent)
     connect_graph(cols)
     return cols, perm

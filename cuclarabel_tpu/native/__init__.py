@@ -1,0 +1,152 @@
+"""Native (C++) components, loaded via ctypes.
+
+The reference solver's L1 linear-algebra backends are compiled
+C/Fortran libraries (QDLDL/CHOLMOD/MA57/Pardiso — SURVEY.md §2.6).
+This package holds their native equivalents for the host-side runtime:
+a from-scratch sparse quasidefinite LDL^T kernel with signed dynamic
+regularization and a minimum-degree ordering (qdldl.cpp).
+
+The shared library is compiled on first use with the system g++ and
+cached next to the source; everything degrades gracefully to the pure
+NumPy/JAX paths if no compiler is available.
+"""
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "qdldl.cpp")
+_LIB = os.path.join(_HERE, "libqdldl_tpu.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return True
+        cmd = [
+            "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            _SRC, "-o", _LIB,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (compiling if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_LIB)
+    lib.ldl_etree.restype = ctypes.c_int64
+    lib.ldl_etree.argtypes = [ctypes.c_int64, _I64, _I64, _I64, _I64, _I64]
+    lib.ldl_factor.restype = ctypes.c_int64
+    lib.ldl_factor.argtypes = [
+        ctypes.c_int64, _I64, _I64, _F64, _I64, _I64, _I64, _I64, _F64,
+        _F64, _F64, _I64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        _I64, _F64,
+    ]
+    lib.ldl_solve.restype = None
+    lib.ldl_solve.argtypes = [ctypes.c_int64, _I64, _I64, _F64, _F64, _F64]
+    lib.mindeg_order.restype = None
+    lib.mindeg_order.argtypes = [ctypes.c_int64, _I64, _I64, _I64]
+    _lib = lib
+    return _lib
+
+
+def _ptr_i(a):
+    return a.ctypes.data_as(_I64)
+
+
+def _ptr_f(a):
+    return a.ctypes.data_as(_F64)
+
+
+class QDLDLFactor:
+    """Symbolic + numeric LDL^T of an upper-triangular CSC matrix.
+
+    Mirrors the reference QDLDL backend behavior
+    (directldl_qdldl.jl:10-96): symbolic analysis once, numeric
+    refactorization in place, signed dynamic regularization, solve.
+    """
+
+    def __init__(self, n, Ap, Ai, dsigns, reg_enable=True,
+                 eps=1e-13, delta=2e-7):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native qdldl library unavailable")
+        self.lib = lib
+        self.n = int(n)
+        self.Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+        self.Ai = np.ascontiguousarray(Ai, dtype=np.int64)
+        self.dsigns = np.ascontiguousarray(dsigns, dtype=np.int64)
+        self.reg_enable = 1 if reg_enable else 0
+        self.eps = float(eps)
+        self.delta = float(delta)
+
+        work = np.zeros(self.n, dtype=np.int64)
+        self.Lnz = np.zeros(self.n, dtype=np.int64)
+        self.etree = np.zeros(self.n, dtype=np.int64)
+        nnzL = lib.ldl_etree(
+            self.n, _ptr_i(self.Ap), _ptr_i(self.Ai), _ptr_i(work),
+            _ptr_i(self.Lnz), _ptr_i(self.etree),
+        )
+        if nnzL < 0:
+            raise ValueError("matrix is not upper triangular CSC")
+        self.nnzL = int(nnzL)
+        self.Lp = np.zeros(self.n + 1, dtype=np.int64)
+        self.Li = np.zeros(self.nnzL, dtype=np.int64)
+        self.Lx = np.zeros(self.nnzL)
+        self.D = np.zeros(self.n)
+        self.Dinv = np.zeros(self.n)
+        self._iwork = np.zeros(3 * self.n, dtype=np.int64)
+        self._fwork = np.zeros(self.n)
+
+    def refactor(self, Ax) -> bool:
+        """Numeric refactorization with the cached symbolic structure."""
+        Ax = np.ascontiguousarray(Ax, dtype=np.float64)
+        pos = self.lib.ldl_factor(
+            self.n, _ptr_i(self.Ap), _ptr_i(self.Ai), _ptr_f(Ax),
+            _ptr_i(self.etree), _ptr_i(self.Lnz), _ptr_i(self.Lp),
+            _ptr_i(self.Li), _ptr_f(self.Lx), _ptr_f(self.D),
+            _ptr_f(self.Dinv), _ptr_i(self.dsigns), self.reg_enable,
+            self.eps, self.delta, _ptr_i(self._iwork), _ptr_f(self._fwork),
+        )
+        # success iff all D finite (directldl_qdldl.jl:79)
+        return pos >= 0 and bool(np.all(np.isfinite(self.D)))
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(b, dtype=np.float64).copy()
+        self.lib.ldl_solve(
+            self.n, _ptr_i(self.Lp), _ptr_i(self.Li), _ptr_f(self.Lx),
+            _ptr_f(self.Dinv), _ptr_f(x),
+        )
+        return x
+
+
+def mindeg_ordering(n, Ap, Ai) -> np.ndarray:
+    """Greedy minimum-degree ordering via the native kernel (full CSC
+    pattern input)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native qdldl library unavailable")
+    Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+    Ai = np.ascontiguousarray(Ai, dtype=np.int64)
+    perm = np.zeros(n, dtype=np.int64)
+    lib.mindeg_order(int(n), _ptr_i(Ap), _ptr_i(Ai), _ptr_i(perm))
+    return perm
