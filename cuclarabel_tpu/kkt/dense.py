@@ -54,7 +54,13 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype):
     ir_maxiter = settings.iterative_refinement_max_iter
     ir_stopratio = settings.iterative_refinement_stop_ratio
 
-    dsigns = jnp.concatenate([jnp.ones(n), -jnp.ones(m)])
+    # NB: keep closure constants as numpy — an eagerly created device
+    # array would be embedded as an MLIR constant at lowering time via a
+    # device->host readback, which is pathologically slow on remote
+    # (tunneled) TPU backends.
+    import numpy as _np
+
+    dsigns = _np.concatenate([_np.ones(n), -_np.ones(m)])
 
     def factorize(P, A, Hs):
         top = jnp.concatenate([P, A.T], axis=1)
