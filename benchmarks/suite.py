@@ -1,0 +1,218 @@
+"""Benchmark suite: the BASELINE.json config classes as runnable
+problems with per-problem timing, iterations, and accuracy.
+
+Classes (BASELINE.json "configs"):
+  * basic QP (dense P, inequality rows) — the reference golden QP;
+  * LP/QP batch: synthetic Maros-Meszaros-style QPs (random sparse
+    convex QPs with equalities + box rows; the true MM archive is not
+    vendored — these match its structure class);
+  * SOCP: portfolio optimization, batched scenarios;
+  * exp/pow: logistic-regression-style and geometric-programming-style
+    cones;
+  * SDP with chordal decomposition: sparse arrow/banded PSD problems.
+
+Usage:  python benchmarks/suite.py [--json out.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import cuclarabel_tpu as cc  # noqa: E402
+
+
+def _solve(name, P, q, A, b, cones, expect_obj=None, **kw):
+    solver = cc.Solver(P, q, A, b, cones, **kw)
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = solver.solve()  # warm: compiled program cached
+    warm = time.perf_counter() - t0
+    ok = sol.status in (cc.SolverStatus.SOLVED, cc.SolverStatus.ALMOST_SOLVED)
+    obj_err = (
+        abs(sol.obj_val - expect_obj) if expect_obj is not None else float("nan")
+    )
+    return {
+        "name": name,
+        "status": sol.status.name,
+        "ok": bool(ok),
+        "iters": sol.iterations,
+        "warm_ms": warm * 1e3,
+        "cold_s": cold,
+        "r_prim": sol.r_prim,
+        "r_dual": sol.r_dual,
+        "obj": sol.obj_val,
+        "obj_err": obj_err,
+    }
+
+
+def qp_golden():
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.vstack([np.array([[1.0, 1.0]]), np.eye(2), -np.eye(2)])
+    b = np.array([1.0, 0.7, 0.7, 0.0, 0.0])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2), cc.NonnegativeConeT(2)]
+    return _solve("qp-golden", P, q, A, b, cones, expect_obj=1.8800000298)
+
+
+def mm_style_qp(n, meq, seed):
+    rng = np.random.default_rng(seed)
+    F = rng.standard_normal((n, max(2, n // 4)))
+    P = F @ F.T + 0.1 * np.eye(n)
+    q = rng.standard_normal(n)
+    Aeq = rng.standard_normal((meq, n))
+    beq = Aeq @ rng.standard_normal(n)
+    A = np.vstack([Aeq, -np.eye(n), np.eye(n)])
+    b = np.concatenate([beq, np.zeros(n) + 5.0, np.zeros(n) + 5.0])
+    cones = [cc.ZeroConeT(meq), cc.NonnegativeConeT(2 * n)]
+    return _solve(f"mm-qp-n{n}", P, q, A, b, cones)
+
+
+def portfolio_socp(nass, seed):
+    rng = np.random.default_rng(seed)
+    n = nass + 1
+    nfac = max(2, nass // 4)
+    F = rng.standard_normal((nass, nfac))
+    A_eq = np.zeros((1, n))
+    A_eq[0, :nass] = 1.0
+    A_nn = np.zeros((nass + 1, n))
+    A_nn[:nass, :nass] = -np.eye(nass)
+    A_nn[nass, nass] = -1.0
+    A_soc = np.zeros((nfac + 1, n))
+    A_soc[0, nass] = -1.0
+    A_soc[1:, :nass] = -F.T
+    A = np.vstack([A_eq, A_nn, A_soc])
+    q = np.concatenate([-rng.standard_normal(nass) * 0.1, [1.0]])
+    b = np.zeros(A.shape[0])
+    b[0] = 1.0
+    cones = [
+        cc.ZeroConeT(1),
+        cc.NonnegativeConeT(nass + 1),
+        cc.SecondOrderConeT(nfac + 1),
+    ]
+    return _solve(f"socp-portfolio-n{nass}", None, q, A, b, cones)
+
+
+def exp_logistic(nfeat, nobs, seed):
+    """Logistic-loss epigraph via exponential cones:
+    min sum t_i, with softplus(-y_i w'x_i) <= t_i expressed through
+    two exp-cone epigraphs per observation (standard GP modeling)."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((nobs, nfeat))
+    y = np.sign(rng.standard_normal(nobs))
+    # variables: w (nfeat), t (nobs), u (nobs), v (nobs)
+    # constraints: u + v <= 1 handled as NN slack; exp cones:
+    # (  -y x'w - t, 1, u ) and ( -t, 1, v ) in Kexp
+    nv = nfeat + 3 * nobs
+    rows = []
+    bs = []
+    cones = []
+    # u + v <= 1
+    for i in range(nobs):
+        r = np.zeros(nv)
+        r[nfeat + nobs + i] = 1.0
+        r[nfeat + 2 * nobs + i] = 1.0
+        rows.append(r)
+        bs.append(1.0)
+    cones.append(cc.NonnegativeConeT(nobs))
+    # exp cones
+    for i in range(nobs):
+        r1 = np.zeros(nv)
+        r1[:nfeat] = y[i] * X[i]
+        r1[nfeat + i] = 1.0  # -(-yx'w - t) = yx'w + t
+        r2 = np.zeros(nv)
+        r3 = np.zeros(nv)
+        r3[nfeat + nobs + i] = -1.0
+        rows += [-r1, r2, r3]
+        bs += [0.0, 1.0, 0.0]
+        cones.append(cc.ExponentialConeT())
+        r1 = np.zeros(nv)
+        r1[nfeat + i] = -1.0
+        r3 = np.zeros(nv)
+        r3[nfeat + 2 * nobs + i] = -1.0
+        rows += [r1, r2, r3]
+        bs += [0.0, 1.0, 0.0]
+        cones.append(cc.ExponentialConeT())
+    A = -np.vstack([r[None, :] for r in rows])
+    A[: nobs] = -A[:nobs]  # NN rows: s = b - row
+    b = np.asarray(bs)
+    q = np.zeros(nv)
+    q[nfeat : nfeat + nobs] = 1.0
+    P = 1e-4 * np.eye(nv)
+    return _solve(f"exp-logistic-{nobs}x{nfeat}", P, q, A, b, cones)
+
+
+def sdp_chordal_banded(nv, bw, seed):
+    """min tr(C X) s.t. X_ij = M_ij on a band, X >= 0 — banded
+    aggregate sparsity decomposes into a clique chain."""
+    rng = np.random.default_rng(seed)
+    sd = nv * (nv + 1) // 2
+    q = np.zeros(sd)
+    rows = []
+    bs = []
+    a = 0
+    diagd = []
+    for j in range(nv):
+        for i in range(j + 1):
+            if j - i <= bw:
+                r = np.zeros(sd)
+                r[a] = 1.0
+                rows.append(r)
+                val = 1.0 if i == j else 0.3 / (1 + j - i)
+                bs.append(val * (1.0 if i == j else np.sqrt(2.0)))
+            if i == j:
+                diagd.append(a)
+            a += 1
+    # objective: tr(C X) with random diagonal C
+    cdiag = rng.random(nv) + 0.5
+    for k, a_ in enumerate(diagd):
+        q[a_] = cdiag[k]
+    meq = len(rows)
+    A = np.vstack([np.vstack(rows), np.eye(sd)])
+    A[meq:] = -A[meq:]
+    b = np.concatenate([np.asarray(bs), np.zeros(sd)])
+    cones = [cc.ZeroConeT(meq), cc.PSDTriangleConeT(nv)]
+    return _solve(
+        f"sdp-banded-n{nv}", None, q, A, b, cones,
+        chordal_decomposition_enable=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    results = [
+        qp_golden(),
+        mm_style_qp(50, 10, 1),
+        mm_style_qp(200, 40, 2),
+        portfolio_socp(32, 3),
+        portfolio_socp(128, 4),
+        exp_logistic(4, 10, 5),
+        sdp_chordal_banded(12, 2, 6),
+    ]
+
+    hdr = f"{'problem':<22s} {'status':<14s} {'iters':>5s} {'warm ms':>9s} {'rprim':>9s} {'rdual':>9s}"
+    print(hdr)
+    print("-" * len(hdr))
+    for r in results:
+        print(
+            f"{r['name']:<22s} {r['status']:<14s} {r['iters']:>5d} "
+            f"{r['warm_ms']:>9.2f} {r['r_prim']:>9.1e} {r['r_dual']:>9.1e}"
+        )
+    nfail = sum(not r["ok"] for r in results)
+    print(f"\n{len(results) - nfail}/{len(results)} solved")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+    return 1 if nfail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

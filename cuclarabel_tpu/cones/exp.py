@@ -143,7 +143,7 @@ def _higher_correction(H, z, ds, v):
     """Batched 3rd-order correction eta at z; u solves H u = ds
     (higher_correction!, coneops_expcone.jl:319-366).  ds = step_s,
     v = step_z."""
-    u = jnp.linalg.solve(H, ds[..., None])[..., 0]
+    u = ns.solve_3x3_sym(H, ds)
     u_ok = jnp.all(jnp.isfinite(u), axis=1)
     u = jnp.where(u_ok[:, None], u, 0.0)
 

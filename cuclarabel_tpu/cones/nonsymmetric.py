@@ -33,6 +33,32 @@ def logsafe(x):
     return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -BIG)
 
 
+def solve_3x3_sym(H, b):
+    """Batched explicit 3x3 Cholesky solve of SPD systems H x = b
+    (parity with cholesky_3x3_explicit_factor!/solve!, used by the
+    reference for the same reason: a generic LU is unavailable/slow —
+    on TPU, XLA's LuDecomposition has no f64 path at all).  Returns
+    NaNs for non-SPD inputs; callers mask on finiteness (the reference
+    zeroes the correction on factor failure)."""
+    a, bb, c = H[:, 0, 0], H[:, 0, 1], H[:, 0, 2]
+    d, e, f = H[:, 1, 1], H[:, 1, 2], H[:, 2, 2]
+    l11 = jnp.sqrt(a)
+    l21 = bb / l11
+    l31 = c / l11
+    l22 = jnp.sqrt(d - l21 * l21)
+    l32 = (e - l21 * l31) / l22
+    l33 = jnp.sqrt(f - l31 * l31 - l32 * l32)
+    # forward: L y = b
+    y1 = b[:, 0] / l11
+    y2 = (b[:, 1] - l21 * y1) / l22
+    y3 = (b[:, 2] - l31 * y1 - l32 * y2) / l33
+    # backward: L' x = y
+    x3 = y3 / l33
+    x2 = (y2 - l32 * x3) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3) / l11
+    return jnp.stack([x1, x2, x3], axis=1)
+
+
 def newton_raphson_onesided(x0, f0, f1, max_iter: int = 100):
     """Batched one-sided Newton-Raphson: x0 (k,) starting left of the
     root with f0(x0) > 0.  f0/f1 map (k,) -> (k,).  Stops per cone when

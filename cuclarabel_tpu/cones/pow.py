@@ -161,7 +161,7 @@ def _barrier_primal(s, a):
 def _higher_correction(H, z, a, ds, v):
     """Batched 3rd-order correction eta
     (higher_correction!, coneops_powcone.jl:320-404)."""
-    u = jnp.linalg.solve(H, ds[..., None])[..., 0]
+    u = ns.solve_3x3_sym(H, ds)
     u_ok = jnp.all(jnp.isfinite(u), axis=1)
     u = jnp.where(u_ok[:, None], u, 0.0)
 

@@ -587,4 +587,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             "sigma": final["sigma"],
         }
 
-    return solve if raw else jax.jit(solve)
+    def solve_precise(dev: Dict[str, jnp.ndarray]):
+        # TPU MXU f32 matmuls default to reduced (bf16-pass) internal
+        # precision, which costs ~3 decimal digits in the KKT solves
+        # and cone products; the IPM's 1e-8 termination needs true f32.
+        with jax.default_matmul_precision("highest"):
+            return solve(dev)
+
+    return solve_precise if raw else jax.jit(solve_precise)

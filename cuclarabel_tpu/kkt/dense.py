@@ -34,6 +34,53 @@ def _inf_norm(v):
     return jnp.max(jnp.abs(v))
 
 
+def _gj_inv_small(M):
+    """Unrolled no-pivot Gauss-Jordan inverse for tiny blocks.
+
+    Valid because every diagonal block reached by the recursive Schur
+    split of a statically regularized quasidefinite matrix is itself
+    quasidefinite (nonzero pivots); f64 refinement absorbs the loss of
+    pivoting accuracy."""
+    N = M.shape[-1]
+    X = jnp.concatenate([M, jnp.eye(N, dtype=M.dtype)], axis=-1)
+    for i in range(N):
+        piv = X[i, :] / X[i, i]
+        X = X - X[:, i : i + 1] * piv[None, :]
+        X = X.at[i, :].set(piv)
+    return X[:, N:]
+
+
+def pivotfree_inv(M):
+    """Pivot-free inverse of a (regularized) quasidefinite matrix by
+    recursive 2x2 block Schur complementation:
+
+        inv([A B; C D]) = [Ai + AiB Si CAi,  -AiB Si]
+                          [      -Si CAi,        Si ]
+
+    with Ai = inv(A), S = D - C Ai B, Si = inv(S).  All work is batched
+    matmuls (MXU) — no sequential pivot search / row swaps, which is
+    what serializes XLA's LU on TPU.  Leading principal submatrices of
+    a quasidefinite matrix are quasidefinite, so every recursive block
+    is invertible without pivoting (Vanderbei 1995)."""
+    N = M.shape[-1]
+    if N <= 8:
+        return _gj_inv_small(M)
+    k = N // 2
+    A = M[:k, :k]
+    B = M[:k, k:]
+    C = M[k:, :k]
+    D = M[k:, k:]
+    Ai = pivotfree_inv(A)
+    AiB = Ai @ B
+    S = D - C @ AiB
+    Si = pivotfree_inv(S)
+    CAi = C @ Ai
+    SiCAi = Si @ CAi
+    top = jnp.concatenate([Ai + AiB @ SiCAi, -(AiB @ Si)], axis=1)
+    bot = jnp.concatenate([-SiCAi, Si], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def make_dense_kkt(n: int, m: int, settings, factor_dtype):
     """Returns (factorize, solve):
 
@@ -62,7 +109,17 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype):
 
     dsigns = _np.concatenate([_np.ones(n), -_np.ones(m)])
 
-    def factorize(P, A, Hs):
+    method = settings.kkt_solve_method
+    if method == "auto":
+        # XLA's row-pivoted LU serializes badly on TPU (pivot search +
+        # row-swap gathers per column); the explicit inverse costs one
+        # O(N^3) batched op per IPM iteration and turns every subsequent
+        # solve into a single MXU matmul.  Accuracy is recovered by the
+        # f64 iterative refinement against the unregularized operator,
+        # exactly as for the f32 LU path.
+        method = "inverse" if jax.default_backend() in ("tpu", "axon") else "lu"
+
+    def _assemble(P, A, Hs):
         top = jnp.concatenate([P, A.T], axis=1)
         bot = jnp.concatenate([A, -Hs], axis=1)
         K = jnp.concatenate([top, bot], axis=0)  # f64, unregularized
@@ -76,15 +133,60 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype):
         else:
             Kreg = K
 
-        lu, piv = jax.scipy.linalg.lu_factor(Kreg.astype(factor_dtype))
-        ok = jnp.all(jnp.isfinite(lu))
-        return {"lu": lu, "piv": piv, "K": K}, ok
+        # symmetric row-norm (one-shot Ruiz) pre-scaling of the matrix
+        # handed to the reduced-precision factorization: the Hs block
+        # spans many orders of magnitude late in the IPM, and rescaling
+        # keeps the factor's condition number within f32 range.  Row
+        # inf-norms (not the diagonal, which is ~0 on the x block of an
+        # LP) so zero-diagonal rows scale sanely.  The f64 refinement
+        # still runs against the raw operator K.
+        rn = jnp.max(jnp.abs(Kreg), axis=1)
+        dj = 1.0 / jnp.sqrt(jnp.where(rn > 1e-300, rn, 1.0))
+        Ks = Kreg * dj[:, None] * dj[None, :]
+        return K, Ks, dj
 
-    def _raw_solve(fac, b):
-        x = jax.scipy.linalg.lu_solve(
-            (fac["lu"], fac["piv"]), b.astype(factor_dtype)
-        )
-        return x.astype(jnp.float64)
+    if method == "inverse":
+
+        def factorize(P, A, Hs):
+            K, Ks, dj = _assemble(P, A, Hs)
+            Kf = Ks.astype(factor_dtype)
+            # f32: pivoted inversion (XLA's f32 LU).  pivotfree_inv
+            # avoids the sequential pivoting entirely but at f32 loses
+            # accuracy catastrophically when the P block is ~0 (pure
+            # LPs): the recursion's leading block is then eps*I and the
+            # Schur reassembly cancels ~1e8-magnitude intermediates.
+            # f64: XLA has no f64 LU on TPU at all, and the same
+            # cancellation costs only ~1e-8 at f64 — so the pivot-free
+            # recursion (pure matmuls, fully MXU) is used there.
+            # Either way every subsequent solve is one matmul.
+            if factor_dtype == jnp.float32:
+                Kinv = jnp.linalg.inv(Kf)
+            else:
+                Kinv = pivotfree_inv(Kf)
+            # one Newton-Schulz step tightens the inverse's residual
+            Kinv = Kinv @ (2.0 * jnp.eye(N, dtype=factor_dtype) - Kf @ Kinv)
+            ok = jnp.all(jnp.isfinite(Kinv))
+            return {"Kinv": Kinv, "K": K, "dj": dj}, ok
+
+        def _raw_solve(fac, b):
+            dj = fac["dj"]
+            bs = (dj * b).astype(factor_dtype)
+            return dj * (fac["Kinv"] @ bs).astype(jnp.float64)
+
+    else:
+
+        def factorize(P, A, Hs):
+            K, Ks, dj = _assemble(P, A, Hs)
+            lu, piv = jax.scipy.linalg.lu_factor(Ks.astype(factor_dtype))
+            ok = jnp.all(jnp.isfinite(lu))
+            return {"lu": lu, "piv": piv, "K": K, "dj": dj}, ok
+
+        def _raw_solve(fac, b):
+            dj = fac["dj"]
+            x = jax.scipy.linalg.lu_solve(
+                (fac["lu"], fac["piv"]), (dj * b).astype(factor_dtype)
+            )
+            return dj * x.astype(jnp.float64)
 
     def _refine(fac, b, x0):
         """Iterative refinement against the unregularized K
@@ -109,12 +211,18 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype):
             normen = _inf_norm(en)
             okn = jnp.isfinite(normen)
             ratio = norme / jnp.where(normen > 0, normen, 1e-300)
-            improved = ratio >= ir_stopratio
-            accept = improved | (ratio > 1.0)
+            # The reference stops once a pass improves by less than
+            # stop_ratio (fine for f64 factors, where refinement either
+            # converges in 1-2 passes or not at all).  With reduced-
+            # precision factors convergence is geometric with a smaller
+            # ratio, so keep iterating while each pass still makes real
+            # progress (>20%); max_iter bounds the loop either way.
+            accept = ratio > 1.0
+            keep_going = ratio > 1.2
             x_out = jnp.where(accept, xn, x)
             e_out = jnp.where(accept, en, e)
             norme_out = jnp.where(accept, normen, norme)
-            return (x_out, e_out, norme_out, i + 1, ~improved, okn)
+            return (x_out, e_out, norme_out, i + 1, ~keep_going, okn)
 
         x, _, norme, _, _, ok = jax.lax.while_loop(
             cond, body, (x0, e0, norme0, 0, False, ok0)

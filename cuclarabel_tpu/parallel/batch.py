@@ -230,7 +230,7 @@ class BatchSolver:
             n,
             m,
             self._has_P,
-            _resolve_factor_dtype(settings),
+            _resolve_factor_dtype(settings, self.layout),
             mesh_shape,
         )
         self._args = (

@@ -64,6 +64,13 @@ class Settings:
     # and float64 elsewhere; or force "float32"/"float64".
     kkt_factor_precision: str = "auto"
 
+    # dense KKT solve algorithm: "lu" (pivoted, XLA), "inverse"
+    # (pivot-free explicit inverse of the regularized quasidefinite K;
+    # every solve becomes one MXU matmul — much faster on TPU, same
+    # final accuracy via f64 iterative refinement), or "auto"
+    # (inverse on TPU, lu elsewhere).
+    kkt_solve_method: str = "auto"
+
     # static regularization (src/settings.jl:117-119)
     static_regularization_enable: bool = True
     static_regularization_constant: float = 1e-8
@@ -113,3 +120,5 @@ class Settings:
             raise ValueError("kkt_factor_precision must be auto|float32|float64")
         if self.direct_solve_method not in ("auto", "dense"):
             raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")
+        if self.kkt_solve_method not in ("auto", "lu", "inverse"):
+            raise ValueError("kkt_solve_method must be auto|lu|inverse")

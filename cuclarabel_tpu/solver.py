@@ -75,9 +75,16 @@ def _cached_solve_fn(layout, settings, n, m, has_P, factor_dtype_name):
     return make_solve_fn(layout, settings, n, m, has_P, factor_dtype)
 
 
-def _resolve_factor_dtype(settings) -> str:
+def _resolve_factor_dtype(settings, layout=None) -> str:
     if settings.kkt_factor_precision == "auto":
-        return "float32" if jax.default_backend() == "tpu" else "float64"
+        # accuracy parity with the reference by default: f64 factors
+        # everywhere (on TPU via the pivot-free matmul-only inverse,
+        # since XLA has no f64 LU there).  f32 factors + f64 iterative
+        # refinement are ~5x faster on TPU and reach the full 1e-8
+        # tolerance on most problems (everything in bench.py), but can
+        # end at ALMOST_SOLVED when cond(K) crosses ~1e7 near
+        # convergence — opt in with kkt_factor_precision="float32".
+        return "float64"
     return settings.kkt_factor_precision
 
 
@@ -198,7 +205,7 @@ class Solver:
             "normb": jnp.asarray(normb),
         }
 
-        factor_dtype_name = _resolve_factor_dtype(self.settings)
+        factor_dtype_name = _resolve_factor_dtype(self.settings, self.layout)
         self._solve_fn = _cached_solve_fn(
             self.layout, self.settings, n, m, self._has_P, factor_dtype_name
         )
@@ -403,7 +410,7 @@ class Solver:
         self.update_b(b)
 
     def _refresh_solve_fn(self):
-        factor_dtype_name = _resolve_factor_dtype(self.settings)
+        factor_dtype_name = _resolve_factor_dtype(self.settings, self.layout)
         self._solve_fn = _cached_solve_fn(
             self.layout, self.settings, self.n, self.m, self._has_P,
             factor_dtype_name,
