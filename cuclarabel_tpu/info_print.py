@@ -11,8 +11,6 @@ streamed — the TPU-native equivalent of the reference's streaming
 
 import numpy as np
 
-from . import __version__ as _version_pkg
-
 
 def _count_cones(cones):
     from .cones import api

@@ -14,7 +14,6 @@ NumPy/JAX paths if no compiler is available.
 import ctypes
 import os
 import subprocess
-import sysconfig
 from typing import Optional
 
 import numpy as np

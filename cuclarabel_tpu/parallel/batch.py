@@ -156,7 +156,6 @@ def make_batch_solve_fn(
     )
     mesh = Mesh(devices, axis_names=("batch",))
     shard = NamedSharding(mesh, PartitionSpec("batch"))
-    repl = NamedSharding(mesh, PartitionSpec())
     # out: every leaf carries the batch axis
     return jax.jit(
         batched,

@@ -1,0 +1,141 @@
+"""Single-large-problem multi-chip solving: tensor-parallel KKT.
+
+The second scale-out axis (SURVEY.md §2.9 target (d)): one problem too
+large for a single chip, with its KKT operator partitioned across the
+device mesh.  The inverse-based KKT backend (kkt/dense.py) makes this a
+natural GSPMD workload — the per-iteration factorization is a chain of
+batched matmuls (recursive block-Schur inverse + Newton-Schulz), and
+every solve is one matmul, so annotating the operand shardings lets XLA
+partition the contraction dimensions and insert the `all-reduce` /
+`all-gather` collectives over ICI itself (the scaling-book recipe:
+pick a mesh, annotate, let XLA place collectives).
+
+Sharding layout: the constraint dimension m (rows of A, the m-length
+slack/dual vectors) is sharded over the 'row' mesh axis; n-length
+objects and scalars replicate.  Inside the solve, products like A @ x,
+A.T @ z, Hs assembly and the KKT concatenations then partition row-wise
+with psum reductions for the shared n-dimensional results.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..cones import api
+from ..cones.api import cones_collapsed
+from ..cones.layout import build_layout
+from ..equilibration import ruiz_equilibrate
+from ..ipm.loop import make_solve_fn
+from ..settings import Settings
+from ..solver import DefaultSolution, _resolve_factor_dtype, _to_dense
+from ..statuscodes import SolverStatus
+
+
+class ShardedSolver:
+    """Solve ONE conic program with its KKT operator sharded over
+    `n_devices` chips ('row' axis = the constraint dimension m).
+
+    Same semantics as Solver (minus presolve, which is row-structural);
+    useful when A / the KKT matrix do not fit (or do not saturate) one
+    chip.
+    """
+
+    def __init__(
+        self,
+        P,
+        q,
+        A,
+        b,
+        cones: Sequence[api.SupportedCone],
+        settings: Optional[Settings] = None,
+        n_devices: int = 1,
+        **kwargs,
+    ):
+        settings = settings or Settings()
+        if kwargs:
+            settings = settings.replace(**kwargs)
+        settings = settings.replace(presolve_enable=False)
+        settings.validate()
+        self.settings = settings
+
+        q = np.asarray(q, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        n, m = q.shape[0], b.shape[0]
+        Pd = _to_dense(P, (n, n))
+        Pd = np.triu(Pd) + np.triu(Pd, 1).T
+        Ad = _to_dense(A, (m, n))
+        self._has_P = bool(np.any(Pd != 0.0))
+
+        cones = list(cones)
+        # pad m to a multiple of the mesh with inert nonnegative rows
+        # (0*x + s = 1 -> s = 1, z = 0): sharded axes must divide evenly
+        self._mpad = (-m) % n_devices
+        if self._mpad:
+            Ad = np.vstack([Ad, np.zeros((self._mpad, n))])
+            b = np.concatenate([b, np.ones(self._mpad)])
+            cones.append(api.NonnegativeConeT(self._mpad))
+            m = b.shape[0]
+
+        cones = cones_collapsed(cones)
+        self.layout = build_layout(tuple(cones))
+        if self.layout.m != m:
+            raise ValueError("cone dimensions inconsistent with b")
+        self.n, self.m = n, m
+
+        normq = float(np.abs(q).max()) if n else 0.0
+        normb = float(np.abs(b).max()) if m else 0.0
+        Pd, Ad, qs, bs, d, e, c = ruiz_equilibrate(
+            Pd, Ad, q, b, self.layout, settings
+        )
+
+        devices = np.asarray(jax.devices()[:n_devices])
+        mesh = Mesh(devices, axis_names=("row",))
+        row = NamedSharding(mesh, PartitionSpec("row"))
+        row_mat = NamedSharding(mesh, PartitionSpec("row", None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        self._shardings = {
+            "P": repl, "q": repl, "A": row_mat, "b": row,
+            "d": repl, "dinv": repl, "e": row, "einv": row,
+            "cscale": repl, "normq": repl, "normb": repl,
+        }
+
+        base = make_solve_fn(
+            self.layout, settings, n, m, self._has_P,
+            jnp.float32
+            if _resolve_factor_dtype(settings, self.layout) == "float32"
+            else jnp.float64,
+            raw=True,
+        )
+        self._fn = jax.jit(base, in_shardings=(self._shardings,))
+
+        host = {
+            "P": Pd, "q": qs, "A": Ad, "b": bs,
+            "d": d, "dinv": 1.0 / d, "e": e, "einv": 1.0 / e,
+            "cscale": np.float64(c), "normq": np.float64(normq),
+            "normb": np.float64(normb),
+        }
+        self._dev = {
+            k: jax.device_put(np.asarray(v), self._shardings[k])
+            for k, v in host.items()
+        }
+        self.solution: Optional[DefaultSolution] = None
+
+    def solve(self) -> DefaultSolution:
+        out = jax.device_get(self._fn(self._dev))
+        mkeep = self.m - self._mpad
+        self.solution = DefaultSolution(
+            x=np.asarray(out["x"]),
+            z=np.asarray(out["z"])[:mkeep],
+            s=np.asarray(out["s"])[:mkeep],
+            status=SolverStatus(int(out["status"])),
+            obj_val=float(out["obj_val"]),
+            obj_val_dual=float(out["obj_val_dual"]),
+            solve_time=0.0,
+            iterations=int(out["iterations"]),
+            r_prim=float(out["r_prim"]),
+            r_dual=float(out["r_dual"]),
+        )
+        return self.solution
