@@ -25,12 +25,31 @@ Reference behavior citations throughout point at the Clarabel.jl tree
 here is an independent TPU-first design, not a translation.
 """
 
+import os as _os
+
 import jax as _jax
 
 # The IPM requires ~1e-8 duality-gap accuracy; f64 iterates are mandatory.
 # On TPU the hot factorization path runs in f32 with f64 iterative
 # refinement (see kkt/dense.py), so x64 here only affects cheap vector ops.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: solver programs take 25-40s to compile
+# through remote TPU tunnels; cached executables load in <1s across
+# processes.  Only set if the user hasn't configured a cache themselves.
+if (
+    _jax.config.jax_compilation_cache_dir is None
+    and "JAX_COMPILATION_CACHE_DIR" not in _os.environ
+):
+    _cache = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "cuclarabel_tpu", "jax_cache"
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        pass
 
 from .settings import Settings
 from .statuscodes import SolverStatus

@@ -65,7 +65,15 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
     sym = layout.is_symmetric
     deg1 = layout.degree + 1
-    factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype)
+    if settings.direct_solve_method == "qdldl":
+        # native C++ sparse LDL^T, host-side via pure_callback (CPU path;
+        # mirrors the reference's pluggable L1 backend registry,
+        # directldl_defaults.jl:1-73)
+        from ..kkt.sparse_cpu import make_sparse_cpu_kkt
+
+        factorize, kkt_solve = make_sparse_cpu_kkt(n, m, settings, layout)
+    else:
+        factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype)
 
     allows_pd = layout.allows_primal_dual_scaling
     init_scaling = PRIMAL_DUAL if allows_pd else DUAL_ONLY

@@ -52,11 +52,11 @@ class Settings:
     min_switch_step_length: float = 1e-1
     min_terminate_step_length: float = 1e-4
 
-    # linear solver selection.
-    # "dense" = blocked dense quasidefinite LDL'/LU on device (TPU MXU path).
-    # "auto" resolves to "dense" for now; a block-sparse backend will
-    # register here later (mirrors the backend registry of
-    # src/kktsolvers/direct-ldl/directldl_defaults.jl).
+    # linear solver selection (mirrors the backend registry of
+    # src/kktsolvers/direct-ldl/directldl_defaults.jl):
+    # "dense" = dense factorization/inversion on device (TPU MXU path);
+    # "qdldl" = native C++ sparse LDL^T host-side (CPU path);
+    # "auto"  = "dense".
     direct_solve_method: str = "auto"
     max_threads: int = 0
 
@@ -118,7 +118,7 @@ class Settings:
             raise ValueError("max_step_fraction must be in (0, 1]")
         if self.kkt_factor_precision not in ("auto", "float32", "float64"):
             raise ValueError("kkt_factor_precision must be auto|float32|float64")
-        if self.direct_solve_method not in ("auto", "dense"):
+        if self.direct_solve_method not in ("auto", "dense", "qdldl"):
             raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")
         if self.kkt_solve_method not in ("auto", "lu", "inverse"):
             raise ValueError("kkt_solve_method must be auto|lu|inverse")
