@@ -73,7 +73,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
         factorize, kkt_solve = make_sparse_cpu_kkt(n, m, settings, layout)
     else:
-        factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype)
+        factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype, layout)
 
     allows_pd = layout.allows_primal_dual_scaling
     init_scaling = PRIMAL_DUAL if allows_pd else DUAL_ONLY

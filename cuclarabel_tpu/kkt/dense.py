@@ -81,7 +81,7 @@ def pivotfree_inv(M):
     return jnp.concatenate([top, bot], axis=0)
 
 
-def make_dense_kkt(n: int, m: int, settings, factor_dtype):
+def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
     """Returns (factorize, solve):
 
     factorize(P, A, Hs) -> (fac, ok)
@@ -145,7 +145,73 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype):
         Ks = Kreg * dj[:, None] * dj[None, :]
         return K, Ks, dj
 
-    if method == "inverse":
+    if method == "pallas":
+        # batched pivot-free LDL^T Pallas kernel (pallas_ldl.py):
+        # 24x faster factorization and 6x faster solves than XLA's
+        # pivoted LU at (4096, 76, 76) f32 on v5e.  Exposed through
+        # custom_vmap so the single-problem IPM composes under vmap
+        # with the full-batch kernel.
+        from jax.custom_batching import custom_vmap
+
+        from .pallas_ldl import ldl_factor_batched, ldl_solve_batched
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        # Stability ordering for the pivot-free elimination: inequality
+        # slack rows first (pivots -(Hs+eps), O(1) magnitudes), then the
+        # x block (its Schur complement P + eps + A' H^-1 A is SPD),
+        # then equality (zero-cone) rows last (their Schur pivots are
+        # -(eps + A_eq S^-1 A_eq') rather than the raw -eps).  Without
+        # this, an LP's leading eps*I pivots produce 1e8-scale
+        # multipliers that destroy an f32 factorization.
+        zero_mask = (
+            _np.asarray(layout.zero_mask)
+            if layout is not None and getattr(layout, "has_zero", False)
+            else _np.zeros(m, dtype=bool)
+        )
+        mrows = _np.arange(m) + n
+        perm = _np.concatenate(
+            [mrows[~zero_mask], _np.arange(n), mrows[zero_mask]]
+        )
+        iperm = _np.argsort(perm)
+
+        @custom_vmap
+        def _pldl_factor(Ks):
+            L, Dinv = ldl_factor_batched(Ks[None], interpret=interp)
+            return L[0], Dinv[0]
+
+        @_pldl_factor.def_vmap
+        def _pldl_factor_vmap(axis_size, in_batched, Ks):
+            L, Dinv = ldl_factor_batched(Ks, interpret=interp)
+            return (L, Dinv), (True, True)
+
+        @custom_vmap
+        def _pldl_solve(L, Dinv, bvec):
+            return ldl_solve_batched(
+                L[None], Dinv[None], bvec[None], interpret=interp
+            )[0]
+
+        @_pldl_solve.def_vmap
+        def _pldl_solve_vmap(axis_size, in_batched, L, Dinv, bvec):
+            return (
+                ldl_solve_batched(L, Dinv, bvec, interpret=interp),
+                True,
+            )
+
+        def factorize(P, A, Hs):
+            K, Ks, dj = _assemble(P, A, Hs)
+            Ksp = Ks[perm][:, perm]
+            L, Dinv = _pldl_factor(Ksp.astype(jnp.float32))
+            ok = jnp.all(jnp.isfinite(Dinv))
+            return {"L": L, "Dinv": Dinv, "K": K, "dj": dj}, ok
+
+        def _raw_solve(fac, b):
+            dj = fac["dj"]
+            bs = (dj * b)[perm].astype(jnp.float32)
+            x = _pldl_solve(fac["L"], fac["Dinv"], bs)
+            return dj * x[iperm].astype(jnp.float64)
+
+    elif method == "inverse":
 
         def factorize(P, A, Hs):
             K, Ks, dj = _assemble(P, A, Hs)

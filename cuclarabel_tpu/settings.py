@@ -120,5 +120,5 @@ class Settings:
             raise ValueError("kkt_factor_precision must be auto|float32|float64")
         if self.direct_solve_method not in ("auto", "dense", "qdldl"):
             raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")
-        if self.kkt_solve_method not in ("auto", "lu", "inverse"):
-            raise ValueError("kkt_solve_method must be auto|lu|inverse")
+        if self.kkt_solve_method not in ("auto", "lu", "inverse", "pallas"):
+            raise ValueError("kkt_solve_method must be auto|lu|inverse|pallas")
