@@ -200,15 +200,21 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         def factorize(P, A, Hs):
             K, Ks, dj = _assemble(P, A, Hs)
-            Ksp = Ks[perm][:, perm]
-            L, Dinv = _pldl_factor(Ksp.astype(jnp.float32))
+            Ksp = Ks[perm][:, perm].astype(jnp.float32)
+            L, Dinv = _pldl_factor(Ksp)
             ok = jnp.all(jnp.isfinite(Dinv))
-            return {"L": L, "Dinv": Dinv, "K": K, "dj": dj}, ok
+            return {"L": L, "Dinv": Dinv, "Ksp": Ksp, "K": K, "dj": dj}, ok
 
         def _raw_solve(fac, b):
             dj = fac["dj"]
             bs = (dj * b)[perm].astype(jnp.float32)
             x = _pldl_solve(fac["L"], fac["Dinv"], bs)
+            # one f32 pre-refinement against the (scaled, permuted)
+            # operator: cleans the f32 substitution error cheaply so
+            # the f64 outer refinement converges in 1-2 passes instead
+            # of burning emulated-f64 matvecs
+            e = bs - fac["Ksp"] @ x
+            x = x + _pldl_solve(fac["L"], fac["Dinv"], e)
             return dj * x[iperm].astype(jnp.float64)
 
     elif method == "inverse":
