@@ -145,6 +145,23 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         Ks = Kreg * dj[:, None] * dj[None, :]
         return K, Ks, dj
 
+    # Stability ordering for pivot-free elimination: inequality slack
+    # rows first (pivots -(Hs+eps), O(1) magnitudes), then the x block
+    # (its Schur complement P + eps + A' H^-1 A is SPD), then equality
+    # (zero-cone) rows last (their Schur pivots become
+    # -(eps + A_eq S^-1 A_eq') rather than the raw -eps).  Without
+    # this, an LP's leading eps*I pivots produce 1e8-scale multipliers
+    # that destroy an f32 factorization (pallas LDL and pivotfree_inv
+    # alike).
+    zero_mask = (
+        _np.asarray(layout.zero_mask)
+        if layout is not None and getattr(layout, "has_zero", False)
+        else _np.zeros(m, dtype=bool)
+    )
+    mrows = _np.arange(m) + n
+    perm = _np.concatenate([mrows[~zero_mask], _np.arange(n), mrows[zero_mask]])
+    iperm = _np.argsort(perm)
+
     if method == "pallas":
         # batched pivot-free LDL^T Pallas kernel (pallas_ldl.py):
         # 24x faster factorization and 6x faster solves than XLA's
@@ -156,24 +173,6 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         from .pallas_ldl import ldl_factor_batched, ldl_solve_batched
 
         interp = jax.default_backend() not in ("tpu", "axon")
-
-        # Stability ordering for the pivot-free elimination: inequality
-        # slack rows first (pivots -(Hs+eps), O(1) magnitudes), then the
-        # x block (its Schur complement P + eps + A' H^-1 A is SPD),
-        # then equality (zero-cone) rows last (their Schur pivots are
-        # -(eps + A_eq S^-1 A_eq') rather than the raw -eps).  Without
-        # this, an LP's leading eps*I pivots produce 1e8-scale
-        # multipliers that destroy an f32 factorization.
-        zero_mask = (
-            _np.asarray(layout.zero_mask)
-            if layout is not None and getattr(layout, "has_zero", False)
-            else _np.zeros(m, dtype=bool)
-        )
-        mrows = _np.arange(m) + n
-        perm = _np.concatenate(
-            [mrows[~zero_mask], _np.arange(n), mrows[zero_mask]]
-        )
-        iperm = _np.argsort(perm)
 
         @custom_vmap
         def _pldl_factor(Ks):
@@ -221,27 +220,32 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         def factorize(P, A, Hs):
             K, Ks, dj = _assemble(P, A, Hs)
-            Kf = Ks.astype(factor_dtype)
-            # f32: pivoted inversion (XLA's f32 LU).  pivotfree_inv
-            # avoids the sequential pivoting entirely but at f32 loses
-            # accuracy catastrophically when the P block is ~0 (pure
-            # LPs): the recursion's leading block is then eps*I and the
-            # Schur reassembly cancels ~1e8-magnitude intermediates.
-            # f64: XLA has no f64 LU on TPU at all, and the same
-            # cancellation costs only ~1e-8 at f64 — so the pivot-free
-            # recursion (pure matmuls, fully MXU) is used there.
-            # Either way every subsequent solve is one matmul.
+            # f32: pivoted inversion (XLA's f32 LU) — measured fastest
+            # end-to-end: the pivot-free recursion's many small matmuls
+            # underutilize the MXU and its f32 accuracy degrades with
+            # the late-IPM Hs spread (stability ordering fixes the
+            # eps-pivot blowup but not the spread).  f64: XLA has no
+            # f64 LU on TPU, so use the stability-ordered pivot-free
+            # block-Schur inverse (pure matmuls; ~1e-16 headroom makes
+            # the recursion accurate).  Either way a Newton-Schulz step
+            # tightens the residual and every solve is one matmul.
             if factor_dtype == jnp.float32:
+                Kf = Ks.astype(factor_dtype)
                 Kinv = jnp.linalg.inv(Kf)
             else:
+                Kf = Ks[perm][:, perm].astype(factor_dtype)
                 Kinv = pivotfree_inv(Kf)
-            # one Newton-Schulz step tightens the inverse's residual
             Kinv = Kinv @ (2.0 * jnp.eye(N, dtype=factor_dtype) - Kf @ Kinv)
             ok = jnp.all(jnp.isfinite(Kinv))
             return {"Kinv": Kinv, "K": K, "dj": dj}, ok
 
+        _permuted = factor_dtype != jnp.float32
+
         def _raw_solve(fac, b):
             dj = fac["dj"]
+            if _permuted:
+                bs = (dj * b)[perm].astype(factor_dtype)
+                return dj * (fac["Kinv"] @ bs)[iperm].astype(jnp.float64)
             bs = (dj * b).astype(factor_dtype)
             return dj * (fac["Kinv"] @ bs).astype(jnp.float64)
 
