@@ -214,7 +214,15 @@ class Solver:
         return self
 
     # ------------------------------------------------------------------
-    def solve(self) -> DefaultSolution:
+    def solve(self, profile_dir: Optional[str] = None) -> DefaultSolution:
+        """Run the IPM.  With profile_dir set, wraps the device program
+        in a jax.profiler trace (viewable in TensorBoard/XProf) — the
+        TPU-native counterpart of the reference's hierarchical timers
+        (TimerOutputs, src/types.jl:362-372) for on-device detail."""
+        if profile_dir is not None:
+            with jax.profiler.trace(profile_dir):
+                out = self._solve_fn(self._dev)
+                jax.block_until_ready(out)
         if self.settings.verbose:
             from . import info_print
 
