@@ -78,3 +78,24 @@ def test_batched_varying_P_and_A():
             Ps[i], qs[i], As[i], bs[i], cones, presolve_enable=False
         ).solve()
         assert abs(ref.obj_val - s.obj_val) < 1e-7
+
+
+def test_batch_mixed_feasibility():
+    """A batch mixing solvable and primal-infeasible problems must
+    report per-problem statuses correctly (the vmapped while_loop keeps
+    executing finished elements until the whole batch terminates, so
+    terminal statuses must be stable under extra passes)."""
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.vstack([np.array([[1.0, 1.0]]), np.eye(2), -np.eye(2)])
+    b_ok = np.array([1.0, 0.7, 0.7, 0.0, 0.0])
+    b_inf = np.array([-1.0, 0.7, 0.7, -0.5, -0.5])  # infeasible bounds
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2), cc.NonnegativeConeT(2)]
+    sols = BatchSolver(
+        P, np.stack([q, q, q]), A, np.stack([b_ok, b_inf, b_ok]), cones
+    ).solve()
+    assert sols[0].status == cc.SolverStatus.SOLVED
+    assert sols[1].status == cc.SolverStatus.PRIMAL_INFEASIBLE
+    assert sols[2].status == cc.SolverStatus.SOLVED
+    assert abs(sols[0].obj_val - 1.88) < 1e-2
+    assert np.isnan(sols[1].obj_val)
