@@ -287,14 +287,16 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             normen = _inf_norm(en)
             okn = jnp.isfinite(normen)
             ratio = norme / jnp.where(normen > 0, normen, 1e-300)
-            # The reference stops once a pass improves by less than
-            # stop_ratio (fine for f64 factors, where refinement either
-            # converges in 1-2 passes or not at all).  With reduced-
+            # Reference semantics (kktsolver_directldl.jl:430-438): stop
+            # once a pass improves by less than stop_ratio, accepting the
+            # final step only if it improved at all.  With reduced-
             # precision factors convergence is geometric with a smaller
-            # ratio, so keep iterating while each pass still makes real
-            # progress (>20%); max_iter bounds the loop either way.
+            # per-pass ratio, so the effective threshold is capped at
+            # 1.2: each pass still making >20% progress keeps running
+            # (max_iter bounds the loop either way), while a user
+            # tightening the setting below 1.2 is honored exactly.
             accept = ratio > 1.0
-            keep_going = ratio > 1.2
+            keep_going = ratio > min(ir_stopratio, 1.2)
             x_out = jnp.where(accept, xn, x)
             e_out = jnp.where(accept, en, e)
             norme_out = jnp.where(accept, normen, norme)

@@ -7,12 +7,16 @@ This is the counterpart of the reference's QDLDL direct-LDL backend
 in-place numeric refactorization each IPM iteration, signed dynamic
 regularization inside the factorization, triangular solves, and
 iterative refinement against the unregularized operator — all running
-host-side through `jax.pure_callback`, so the jitted IPM loop is
+host-side through ordered `io_callback`s, so the jitted IPM loop is
 unchanged.  Selected with `direct_solve_method="qdldl"` (CPU only).
 
-The callback carries host state (the cached symbolic factorization);
-ordering between the factorize and solve callbacks is enforced by
-threading the factorization's ok-flag token through the solve inputs.
+The callbacks are stateful (they share the cached symbolic
+factorization), so they go through `jax.experimental.io_callback` with
+`ordered=True` — the supported mechanism for effectful host calls that
+must not be CSE'd, elided, or reordered (a deduplicated pure_callback
+could silently solve against a stale factor).  The factorization's
+ok-flag token is additionally threaded through the solve inputs as a
+data dependency.
 """
 
 from typing import Tuple
@@ -108,24 +112,28 @@ class _HostKKT:
 
 def make_sparse_cpu_kkt(n: int, m: int, settings, layout):
     """(factorize, solve) with the dense-backend interface, running the
-    native sparse LDL^T host-side via pure_callback."""
+    native sparse LDL^T host-side via ordered io_callback."""
+    from jax.experimental import io_callback
+
     host = _HostKKT(n, m, settings, layout)
     N = n + m
 
     def factorize(P, A, Hs):
-        token = jax.pure_callback(
+        token = io_callback(
             host.factorize,
             jax.ShapeDtypeStruct((), np.uint8),
             P, A, Hs,
+            ordered=True,
         )
         return {"token": token}, token > 0
 
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         b = jnp.concatenate([rx, rz])
-        x = jax.pure_callback(
+        x = io_callback(
             host.solve,
             jax.ShapeDtypeStruct((N,), np.float64),
             b, fac["token"],
+            ordered=True,
         )
         ok = jnp.all(jnp.isfinite(x))
         return x[:n], x[n:], ok

@@ -219,10 +219,6 @@ class Solver:
         in a jax.profiler trace (viewable in TensorBoard/XProf) — the
         TPU-native counterpart of the reference's hierarchical timers
         (TimerOutputs, src/types.jl:362-372) for on-device detail."""
-        if profile_dir is not None:
-            with jax.profiler.trace(profile_dir):
-                out = self._solve_fn(self._dev)
-                jax.block_until_ready(out)
         if self.settings.verbose:
             from . import info_print
 
@@ -231,8 +227,17 @@ class Solver:
                 self.settings, self.n, self.m, self._cones, self._has_P,
                 self.settings.direct_solve_method,
             )
+        import contextlib
+
+        trace_ctx = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir is not None
+            else contextlib.nullcontext()
+        )
         t0 = time.perf_counter()
-        out = self._solve_fn(self._dev)
+        with trace_ctx:
+            out = self._solve_fn(self._dev)
+            jax.block_until_ready(out)
         out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
