@@ -65,6 +65,15 @@ from .cones.api import (
 )
 from .solver import Solver, DefaultSolution
 from .infinity import get_infinity, set_infinity, default_infinity
+from .modeling import (
+    Model,
+    Variable,
+    vstack,
+    sum_entries,
+    norm2,
+    quad_form,
+    sumsq,
+)
 
 __version__ = "0.1.0"
 
@@ -84,4 +93,11 @@ __all__ = [
     "get_infinity",
     "set_infinity",
     "default_infinity",
+    "Model",
+    "Variable",
+    "vstack",
+    "sum_entries",
+    "norm2",
+    "quad_form",
+    "sumsq",
 ]

@@ -17,6 +17,8 @@ fuse into one XLA computation; the whole solve is a single device
 program with no host round-trips.
 """
 
+import math
+import time as _time
 from typing import Dict
 
 import jax
@@ -51,8 +53,17 @@ INFO_KEYS = (
 
 
 def _norm_scaled(w, v):
-    """2-norm of the elementwise product w .* v (mathutils.jl:58-82)."""
-    return jnp.linalg.norm(w * v)
+    """Overflow-safe 2-norm of the elementwise product w .* v
+    (mathutils.jl:58-82).  LAPACK-style scale/sum-of-squares, vectorized:
+    factor out the inf-norm before squaring so products near 1e±154
+    (squares overflow/underflow f64) still norm correctly — certificates
+    with extreme scalings live there."""
+    p = w * v
+    if p.size == 0:  # fully presolved / unconstrained blocks
+        return jnp.asarray(0.0)
+    scale = jnp.max(jnp.abs(p))
+    safe = jnp.where((scale > 0) & jnp.isfinite(scale), scale, 1.0)
+    return scale * jnp.linalg.norm(p / safe)
 
 
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
@@ -193,7 +204,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             ).astype(jnp.int32)
 
         # -------------------- termination (info.jl:65-120)
-        def check_termination(info, prev_info, it):
+        def check_termination(info, prev_info, it, elapsed):
             status = check_convergence(
                 info,
                 st.tol_gap_abs, st.tol_gap_rel, st.tol_feas,
@@ -235,6 +246,13 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             status = jnp.where(
                 (status == int(S.UNSOLVED)) & (it >= st.max_iter),
                 int(S.MAX_ITERATIONS),
+                status,
+            ).astype(jnp.int32)
+            # time limit -> MAX_TIME (info.jl:110-115); elapsed is 0
+            # when time_limit is inf (no host clock in the loop)
+            status = jnp.where(
+                (status == int(S.UNSOLVED)) & (elapsed > st.time_limit),
+                int(S.MAX_TIME),
                 status,
             ).astype(jnp.int32)
             return status
@@ -374,6 +392,14 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         def loop_cond(s_):
             return s_["status"] == int(S.UNSOLVED)
 
+        has_time_limit = math.isfinite(st.time_limit)
+
+        def _host_clock(it):
+            # shaped like `it` so vmap_method="broadcast_all" batches it;
+            # depending on the iteration counter keeps XLA from CSE'ing
+            # the call across loop passes
+            return np.full(np.shape(it), _time.time())
+
         def loop_body(s_):
             v = s_["vars"]
             scaling = s_["scaling"]
@@ -381,7 +407,21 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             r = residuals(v)
             mu = (r["sz"] + v["tau"] * v["kappa"]) / deg1
             info = info_update(r, v)
-            status = check_termination(info, s_["prev_info"], s_["iter"])
+            if has_time_limit:
+                # host wall clock, only compiled in when a finite
+                # time_limit is set (settings.jl:73 -> MAX_TIME)
+                tnow = jax.pure_callback(
+                    _host_clock,
+                    jax.ShapeDtypeStruct((), jnp.float64),
+                    s_["iter"],
+                    vmap_method="broadcast_all",
+                )
+                elapsed = tnow - dev["t_start"]
+            else:
+                elapsed = jnp.asarray(0.0)
+            status = check_termination(
+                info, s_["prev_info"], s_["iter"], elapsed
+            )
 
             if st.verbose:
                 row = jnp.stack(

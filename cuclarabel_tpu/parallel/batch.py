@@ -138,15 +138,20 @@ def make_batch_solve_fn(
     batched solution dict.  With mesh_shape=(k,) the batch axis shards
     over a k-device mesh ('batch' axis — the dp axis of this workload).
     """
+    import math
+
     factor_dtype = jnp.float32 if factor_dtype_name == "float32" else jnp.float64
     base = make_solve_fn(layout, settings, n, m, has_P, factor_dtype, raw=True)
+    has_time_limit = math.isfinite(settings.time_limit)
 
-    def solve_one(P, A, q, b):
+    def solve_one(P, A, q, b, t_start):
         b = jnp.minimum(b, get_infinity())  # problemdata.jl:58-62
         dev = device_equilibrate(P, A, q, b, layout, settings)
+        if has_time_limit:
+            dev["t_start"] = t_start
         return base(dev)
 
-    batched = jax.vmap(solve_one)
+    batched = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, None))
 
     if mesh_shape is None:
         return jax.jit(batched)
@@ -156,10 +161,11 @@ def make_batch_solve_fn(
     )
     mesh = Mesh(devices, axis_names=("batch",))
     shard = NamedSharding(mesh, PartitionSpec("batch"))
+    repl = NamedSharding(mesh, PartitionSpec())
     # out: every leaf carries the batch axis
     return jax.jit(
         batched,
-        in_shardings=(shard, shard, shard, shard),
+        in_shardings=(shard, shard, shard, shard, repl),
         out_shardings=shard,
     )
 
@@ -240,7 +246,11 @@ class BatchSolver:
         )
 
     def solve(self):
-        out = jax.device_get(self._fn(*self._args))
+        import time as _time
+
+        out = jax.device_get(
+            self._fn(*self._args, jnp.asarray(_time.time()))
+        )
         sols = []
         for i in range(self.B):
             sols.append(

@@ -114,6 +114,20 @@ class Settings:
     def validate(self) -> None:
         if self.max_iter < 0:
             raise ValueError("max_iter must be nonnegative")
+        if self.max_threads != 0:
+            # reference forwards max_threads to multithreaded LDL
+            # backends (settings.jl:108-110, ext/directldl_pardiso.jl);
+            # here device parallelism is XLA's and the native CPU LDL is
+            # sequential, so a nonzero request cannot be honored — say so
+            # instead of silently ignoring it.
+            import warnings
+
+            warnings.warn(
+                "max_threads is accepted for reference compatibility but "
+                "has no effect: XLA manages device parallelism and the "
+                "native sparse backend is single-threaded",
+                stacklevel=2,
+            )
         if not (0.0 < self.max_step_fraction <= 1.0):
             raise ValueError("max_step_fraction must be in (0, 1]")
         if self.kkt_factor_precision not in ("auto", "float32", "float64"):

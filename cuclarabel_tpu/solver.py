@@ -234,6 +234,14 @@ class Solver:
             if profile_dir is not None
             else contextlib.nullcontext()
         )
+        import math
+
+        if math.isfinite(self.settings.time_limit):
+            # host-clock origin for the in-loop MAX_TIME check
+            # (settings.jl:73, info.jl:110-115); includes trace/compile
+            # time of this dispatch, matching the reference's
+            # wall-clock-of-solve! semantics
+            self._dev["t_start"] = jnp.asarray(time.time())
         t0 = time.perf_counter()
         with trace_ctx:
             out = self._solve_fn(self._dev)

@@ -1,0 +1,54 @@
+"""time_limit -> MAX_TIME enforcement inside the fused loop
+(settings.jl:73, info.jl:110-115 semantics)."""
+
+import numpy as np
+import pytest
+
+from cuclarabel_tpu.cones import api
+from cuclarabel_tpu.parallel import BatchSolver
+from cuclarabel_tpu.settings import Settings
+from cuclarabel_tpu.solver import Solver
+from cuclarabel_tpu.statuscodes import SolverStatus
+
+
+def _qp():
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    b = np.array([1.0, 1.0, 1.0])
+    cones = [api.NonnegativeConeT(1), api.ZeroConeT(1), api.NonnegativeConeT(1)]
+    return P, q, A, b, cones
+
+
+def test_max_time_single():
+    P, q, A, b, cones = _qp()
+    sol = Solver(P, q, A, b, cones, time_limit=1e-9).solve()
+    assert sol.status == SolverStatus.MAX_TIME
+    assert sol.iterations == 0
+
+
+def test_infinite_limit_unaffected():
+    P, q, A, b, cones = _qp()
+    sol = Solver(P, q, A, b, cones).solve()
+    assert sol.status == SolverStatus.SOLVED
+
+
+def test_generous_limit_solves():
+    P, q, A, b, cones = _qp()
+    sol = Solver(P, q, A, b, cones, time_limit=300.0).solve()
+    assert sol.status == SolverStatus.SOLVED
+
+
+def test_max_time_batched():
+    P, q, A, b, cones = _qp()
+    B = 4
+    qb = np.broadcast_to(q, (B, 2)).copy()
+    bb = np.broadcast_to(b, (B, 3)).copy()
+    sols = BatchSolver(P, qb, A, bb, cones, time_limit=1e-9).solve()
+    assert all(s.status == SolverStatus.MAX_TIME for s in sols)
+
+
+def test_max_threads_warns():
+    P, q, A, b, cones = _qp()
+    with pytest.warns(UserWarning, match="max_threads"):
+        Solver(P, q, A, b, cones, max_threads=4)
