@@ -95,7 +95,7 @@ def _native_symbolic(pat_u: np.ndarray):
     (a diagonally dominant numeric factor on the pattern yields exactly
     the symbolic fill).  Returns None if the native library is absent."""
     try:
-        from ..native import QDLDLFactor, get_lib
+        from ..native import LDLFactor, get_lib
     except Exception:
         return None
     if get_lib() is None:
@@ -109,7 +109,7 @@ def _native_symbolic(pat_u: np.ndarray):
                 Ai.append(i)
                 Ax.append(float(n + 1) if i == j else 1.0)
         Ap.append(len(Ai))
-    fac = QDLDLFactor(
+    fac = LDLFactor(
         n, np.asarray(Ap), np.asarray(Ai),
         np.ones(n, dtype=np.int64), reg_enable=False,
     )

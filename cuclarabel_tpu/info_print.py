@@ -71,21 +71,26 @@ def print_configuration(settings, n, m, cones, has_P, backend: str) -> None:
 
 _HEADER = (
     "iter    pcost        dcost       gap       pres      dres      "
-    "k/t        μ       step"
+    "k/t        μ       step     ir  scal"
 )
 
 
 def print_iteration_history(hist: np.ndarray, niter: int) -> None:
     """hist rows: [pcost, dcost, gap_rel, pres, dres, ktratio, mu,
-    step, iter]."""
+    step, iter, ir_count, scaling].  The ir/scal columns mirror the
+    reference status line's refinement-count and scaling-strategy
+    fields (info_print.jl:122-160)."""
     print(_HEADER)
     print("-" * len(_HEADER))
     for i in range(min(niter + 1, hist.shape[0])):
         row = hist[i]
         step = "------" if i == 0 else f"{row[7]:.2e}"
+        ir = int(row[9]) if row.shape[0] > 9 else 0
+        scal = "PD" if row.shape[0] > 10 and row[10] == 0 else "D "
         print(
             f"{i:3d}  {row[0]:+.4e}  {row[1]:+.4e}  {row[2]:.2e}  "
             f"{row[3]:.2e}  {row[4]:.2e}  {row[5]:.2e}  {row[6]:.2e}  {step}"
+            f"  {ir:3d}  {scal}"
         )
 
 

@@ -67,12 +67,16 @@ def _norm_scaled(w, v):
 
 
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
-                  factor_dtype, raw: bool = False):
+                  factor_dtype, raw: bool = False, mesh=None,
+                  mesh_axis: str = "row"):
     """Builds the jitted solve function for this (layout, settings,
     dims) signature.  The returned fn maps a dict of device arrays
     {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
     pytree.  With raw=True returns the traceable (unjitted) function for
-    composition under vmap/shard_map (parallel/batch.py)."""
+    composition under vmap/shard_map (parallel/batch.py).  With a mesh,
+    the KKT backend partitions over `mesh_axis` via the block-arrow
+    Schur backend (kkt/arrow.py) when direct_solve_method is
+    auto/arrow."""
 
     sym = layout.is_symmetric
     deg1 = layout.degree + 1
@@ -83,6 +87,15 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         from ..kkt.sparse_cpu import make_sparse_cpu_kkt
 
         factorize, kkt_solve = make_sparse_cpu_kkt(n, m, settings, layout)
+    elif mesh is not None and settings.direct_solve_method in ("auto", "arrow"):
+        from ..kkt.arrow import make_arrow_kkt
+
+        factorize, kkt_solve = make_arrow_kkt(
+            n, m, settings, layout, mesh, mesh_axis
+        )
+    elif settings.direct_solve_method == "arrow":
+        raise ValueError("direct_solve_method='arrow' needs a device mesh "
+                         "(use ShardedSolver)")
     else:
         factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype, layout)
 
@@ -265,7 +278,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             else:
                 const = cone_ops.ds_from_dz_offset(layout, scal, rhs["s"], v["z"])
             workz = const - rhs["z"]
-            x1, z1, ok = kkt_solve(fac, rhs["x"], workz)
+            x1, z1, ok, nir = kkt_solve(fac, rhs["x"], workz)
 
             tau, kappa = v["tau"], v["kappa"]
             xi = v["x"] / tau
@@ -286,6 +299,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             return (
                 {"x": dx, "s": dsv, "z": dz, "tau": dtau, "kappa": dkappa},
                 ok,
+                nir,
             )
 
         # -------------------- step length (variables.jl:14-43)
@@ -345,13 +359,13 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 fac, _ = factorize(P, A, Hs0)
                 if has_P:
                     # QP init (kktsystem.jl:120-128)
-                    x0, z0, _ = kkt_solve(fac, -q, b)
+                    x0, z0, _, _ = kkt_solve(fac, -q, b)
                     s0 = -z0
                 else:
                     # LP init (kktsystem.jl:101-119)
-                    x0, ms, _ = kkt_solve(fac, jnp.zeros(n), b)
+                    x0, ms, _, _ = kkt_solve(fac, jnp.zeros(n), b)
                     s0 = -ms
-                    _, z0, _ = kkt_solve(fac, -q, jnp.zeros(m))
+                    _, z0, _, _ = kkt_solve(fac, -q, jnp.zeros(m))
                 s0 = cone_ops.shift_to_cone_interior(layout, s0, cone_ops.PRIMAL)
                 z0 = cone_ops.shift_to_cone_interior(layout, z0, cone_ops.DUAL)
             else:
@@ -382,12 +396,13 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             "mu": jnp.asarray(FMAX),
             "alpha": jnp.asarray(0.0),
             "sigma": jnp.asarray(1.0),
+            "ir_count": jnp.asarray(0, jnp.int32),
         }
         if st.verbose:
             # per-iteration progress table, written on device and printed
             # post-hoc on the host (TPU equivalent of the reference's
             # streaming print_status line, info_print.jl:122-160)
-            state0["hist"] = jnp.zeros((st.max_iter + 1, 9))
+            state0["hist"] = jnp.zeros((st.max_iter + 1, 11))
 
         def loop_cond(s_):
             return s_["status"] == int(S.UNSOLVED)
@@ -435,6 +450,8 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                         mu,
                         s_["alpha"],
                         s_["iter"].astype(jnp.float64),
+                        s_["ir_count"].astype(jnp.float64),
+                        scaling.astype(jnp.float64),
                     ]
                 )
                 hist = s_["hist"].at[s_["iter"]].set(row)
@@ -468,7 +485,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             # --- KKT update + constant-rhs solve (kktsystem.jl:62-92)
             Hs = cone_ops.assemble_Hs_dense(layout, scal)
             fac, okf = factorize(P, A, Hs)
-            x2, z2, okc = kkt_solve(fac, -q, b)
+            x2, z2, okc, nir_c = kkt_solve(fac, -q, b)
             kkt_ok = okf & okc
 
             # --- affine step (variables.jl:107-121)
@@ -479,12 +496,18 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "tau": r["rtau"],
                 "kappa": v["tau"] * v["kappa"],
             }
-            step_aff, oka = kkt_step(fac, x2, z2, v, scal, rhs_aff, True)
+            step_aff, oka, nir_a = kkt_step(fac, x2, z2, v, scal, rhs_aff, True)
             kkt_ok = kkt_ok & oka
 
             alpha_aff = get_step_length(v, step_aff, scal, scaling, combined=False)
             sigma = (1.0 - alpha_aff) ** 3  # Mehrotra (solver.jl:446-449)
-            # reduced correction on the first iteration (solver.jl:305-307)
+            # reduced correction on the first iteration (solver.jl:305-307:
+            # m = iter > 1 ? 1 : alpha).  Applying it by scaling step_z
+            # before the per-cone shift matches the reference exactly —
+            # variables_combined_step_rhs! does `step.z .*= m` globally
+            # before combined_ds_shift! (variables.jl:147-151), so the
+            # nonsymmetric higher-order corrections see the scaled step_z
+            # there too.
             mcorr = jnp.where(it > 1, 1.0, alpha_aff)
 
             # --- combined step (variables.jl:124-162)
@@ -501,7 +524,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 + mcorr * step_aff["tau"] * step_aff["kappa"]
                 + v["tau"] * v["kappa"],
             }
-            step_comb, okcb = kkt_step(fac, x2, z2, v, scal, rhs_comb, False)
+            step_comb, okcb, nir_b = kkt_step(fac, x2, z2, v, scal, rhs_comb, False)
             kkt_ok = kkt_ok & okcb
 
             # --- numerical-error checkpoint (solver.jl:475-489)
@@ -564,6 +587,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "mu": mu,
                 "alpha": jnp.where(commit, alpha, 0.0),
                 "sigma": sigma,
+                "ir_count": (nir_c + nir_a + nir_b).astype(jnp.int32),
             }
             if st.verbose:
                 out["hist"] = hist
@@ -633,6 +657,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             "mu": final["mu"],
             "step_length": final["alpha"],
             "sigma": final["sigma"],
+            "ir_count": final["ir_count"],
         }
 
     def solve_precise(dev: Dict[str, jnp.ndarray]):

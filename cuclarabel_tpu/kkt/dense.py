@@ -131,6 +131,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             eps = eps_const + eps_prop * _inf_norm(diag)
             Kreg = K + jnp.diag(dsigns * eps)
         else:
+            eps = jnp.asarray(0.0)
             Kreg = K
 
         # symmetric row-norm (one-shot Ruiz) pre-scaling of the matrix
@@ -143,7 +144,10 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         rn = jnp.max(jnp.abs(Kreg), axis=1)
         dj = 1.0 / jnp.sqrt(jnp.where(rn > 1e-300, rn, 1.0))
         Ks = Kreg * dj[:, None] * dj[None, :]
-        return K, Ks, dj
+        # regdiag: the regularization in the scaled space, so that
+        # Ks - diag(regdiag) is the scaled UNregularized operator
+        regdiag = dsigns * eps * dj * dj
+        return K, Ks, dj, regdiag
 
     # Stability ordering for pivot-free elimination: inequality slack
     # rows first (pivots -(Hs+eps), O(1) magnitudes), then the x block
@@ -163,63 +167,170 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
     iperm = _np.argsort(perm)
 
     if method == "pallas":
-        # batched pivot-free LDL^T Pallas kernel (pallas_ldl.py):
-        # 24x faster factorization and 6x faster solves than XLA's
-        # pivoted LU at (4096, 76, 76) f32 on v5e.  Exposed through
-        # custom_vmap so the single-problem IPM composes under vmap
-        # with the full-batch kernel.
+        # double-float (two-float f32, ~2^-48) Pallas LDL^T engine
+        # (pallas_dd.py): f64-quality factors and residual matvecs at
+        # VPU f32 speeds.  Round-2 answer to the large-batch profile
+        # (see pallas_dd.py header): the plain-f32 kernel stalled
+        # refinement at cond(K) ~ 1e8 while XLA's emulated-f64 residual
+        # matvecs cost ~28 ms each at B=4096; dd removes both.
+        #
+        # Layout note: the kernels want lane-major (N, N, B) operands.
+        # The custom_vmap rules keep the public batch semantics honest
+        # (fac leaves are (B, N, N), batch axis 0) and moveaxis at the
+        # kernel boundary; the factor-output transpose and each solve's
+        # input transpose are inverse pairs of the same value, which
+        # XLA's algebraic simplifier cancels/CSEs, so the large factor
+        # arrays are not physically transposed per solve call.
         from jax.custom_batching import custom_vmap
 
-        from .pallas_ldl import ldl_factor_batched, ldl_solve_batched
+        from .pallas_dd import (
+            dd_ldl_factor,
+            dd_ldl_solve,
+            dd_residual,
+            join_f64,
+            split_f64,
+        )
 
         interp = jax.default_backend() not in ("tpu", "axon")
+        permj = jnp.asarray(perm)
 
         @custom_vmap
-        def _pldl_factor(Ks):
-            L, Dinv = ldl_factor_batched(Ks[None], interpret=interp)
-            return L[0], Dinv[0]
-
-        @_pldl_factor.def_vmap
-        def _pldl_factor_vmap(axis_size, in_batched, Ks):
-            L, Dinv = ldl_factor_batched(Ks, interpret=interp)
-            return (L, Dinv), (True, True)
-
-        @custom_vmap
-        def _pldl_solve(L, Dinv, bvec):
-            return ldl_solve_batched(
-                L[None], Dinv[None], bvec[None], interpret=interp
-            )[0]
-
-        @_pldl_solve.def_vmap
-        def _pldl_solve_vmap(axis_size, in_batched, L, Dinv, bvec):
-            return (
-                ldl_solve_batched(L, Dinv, bvec, interpret=interp),
-                True,
+        def _dd_factor(Ksp, regp):
+            # Ksp (N, N) f64 scaled+permuted UNregularized; regp (N,)
+            Kh, Kl = split_f64(Ksp[..., None])
+            Lh, Ll, Dh, Dl = dd_ldl_factor(
+                Kh, Kl, regp[:, None].astype(jnp.float32), interpret=interp
             )
+            ok = jnp.all(jnp.isfinite(Dh))
+            # outputs squeezed to per-problem rank so the batched rule's
+            # element shapes match (custom_vmap consistency requirement)
+            sq = lambda a: a[..., 0]
+            return sq(Kh), sq(Kl), sq(Lh), sq(Ll), sq(Dh), sq(Dl), ok
+
+        @_dd_factor.def_vmap
+        def _dd_factor_vmap(axis_size, in_batched, Ksp, regp):
+            KT = jnp.moveaxis(Ksp, 0, -1)  # (N, N, B) lane-major
+            Kh, Kl = split_f64(KT)
+            regT = jnp.moveaxis(regp, 0, -1).astype(jnp.float32)
+            Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT, interpret=interp)
+            ok = jnp.all(jnp.isfinite(Dh), axis=0)  # (B,)
+            back = lambda a: jnp.moveaxis(a, -1, 0)
+            return (
+                back(Kh), back(Kl), back(Lh), back(Ll), back(Dh), back(Dl),
+                ok,
+            ), (True, True, True, True, True, True, True)
+
+        @custom_vmap
+        def _dd_solve(Lh, Ll, Dh, Dl, bs):
+            ex = lambda a: a[..., None]
+            bh, bl = split_f64(bs[:, None])
+            xh, xl = dd_ldl_solve(
+                ex(Lh), ex(Ll), ex(Dh), ex(Dl), bh, bl, interpret=interp
+            )
+            return join_f64(xh, xl)[:, 0]
+
+        @_dd_solve.def_vmap
+        def _dd_solve_vmap(axis_size, in_batched, Lh, Ll, Dh, Dl, bs):
+            lane = lambda a: jnp.moveaxis(a, 0, -1)
+            bh, bl = split_f64(lane(bs))
+            xh, xl = dd_ldl_solve(
+                lane(Lh), lane(Ll), lane(Dh), lane(Dl), bh, bl,
+                interpret=interp,
+            )
+            return jnp.moveaxis(join_f64(xh, xl), -1, 0), True
+
+        @custom_vmap
+        def _dd_resid(Kh, Kl, xs, bs):
+            ex = lambda a: a[..., None]
+            xh, xl = split_f64(xs[:, None])
+            bh, bl = split_f64(bs[:, None])
+            rh, rl = dd_residual(
+                ex(Kh), ex(Kl), xh, xl, bh, bl, interpret=interp
+            )
+            return join_f64(rh, rl)[:, 0]
+
+        @_dd_resid.def_vmap
+        def _dd_resid_vmap(axis_size, in_batched, Kh, Kl, xs, bs):
+            lane = lambda a: jnp.moveaxis(a, 0, -1)
+            xh, xl = split_f64(lane(xs))
+            bh, bl = split_f64(lane(bs))
+            rh, rl = dd_residual(
+                lane(Kh), lane(Kl), xh, xl, bh, bl, interpret=interp
+            )
+            return jnp.moveaxis(join_f64(rh, rl), -1, 0), True
 
         def factorize(P, A, Hs):
-            K, Ks, dj = _assemble(P, A, Hs)
-            Ksp = Ks[perm][:, perm].astype(jnp.float32)
-            L, Dinv = _pldl_factor(Ksp)
-            ok = jnp.all(jnp.isfinite(Dinv))
-            return {"L": L, "Dinv": Dinv, "Ksp": Ksp, "K": K, "dj": dj}, ok
+            K, Ks, dj, regdiag = _assemble(P, A, Hs)
+            Ksu = Ks - jnp.diag(regdiag)  # scaled, unregularized
+            Ksp = Ksu[perm][:, perm]
+            Kh, Kl, Lh, Ll, Dh, Dl, ok = _dd_factor(Ksp, regdiag[perm])
+            return {
+                "Kh": Kh, "Kl": Kl, "Lh": Lh, "Ll": Ll,
+                "Dh": Dh, "Dl": Dl, "dj": dj,
+            }, ok
 
-        def _raw_solve(fac, b):
+        def _dd_kkt_solve(fac, rx, rz):
+            """Solve + iterative refinement entirely in the scaled,
+            permuted dd domain (reference IR contract:
+            kktsolver_directldl.jl:389-449, residuals against the
+            UNregularized operator)."""
             dj = fac["dj"]
-            bs = (dj * b)[perm].astype(jnp.float32)
-            x = _pldl_solve(fac["L"], fac["Dinv"], bs)
-            # one f32 pre-refinement against the (scaled, permuted)
-            # operator: cleans the f32 substitution error cheaply so
-            # the f64 outer refinement converges in 1-2 passes instead
-            # of burning emulated-f64 matvecs
-            e = bs - fac["Ksp"] @ x
-            x = x + _pldl_solve(fac["L"], fac["Dinv"], e)
-            return dj * x[iperm].astype(jnp.float64)
+            djp = dj[permj]
+            b = jnp.concatenate([rx, rz])
+            bs = (dj * b)[permj]
+            normb = _inf_norm(b)
+            tol = ir_abstol + ir_reltol * normb
+
+            def unscaled_norm(rs):
+                # rs = dj*(b - K x)[perm]; undo the row scaling for the
+                # tolerance test in the reference's (unscaled) units
+                return _inf_norm(rs / djp)
+
+            x = _dd_solve(fac["Lh"], fac["Ll"], fac["Dh"], fac["Dl"], bs)
+            if ir_enable:
+                e0 = _dd_resid(fac["Kh"], fac["Kl"], x, bs)
+                norme0 = unscaled_norm(e0)
+                ok0 = jnp.isfinite(norme0)
+
+                def cond(c):
+                    _, _, norme, i, stop, ok = c
+                    return (~stop) & ok & (i < ir_maxiter) & (norme > tol)
+
+                def body(c):
+                    xc, e, norme, i, _, _ = c
+                    dx = _dd_solve(
+                        fac["Lh"], fac["Ll"], fac["Dh"], fac["Dl"], e
+                    )
+                    xn = xc + dx
+                    en = _dd_resid(fac["Kh"], fac["Kl"], xn, bs)
+                    normen = unscaled_norm(en)
+                    okn = jnp.isfinite(normen)
+                    ratio = norme / jnp.where(normen > 0, normen, 1e-300)
+                    accept = ratio > 1.0
+                    keep_going = ratio > min(ir_stopratio, 1.2)
+                    return (
+                        jnp.where(accept, xn, xc),
+                        jnp.where(accept, en, e),
+                        jnp.where(accept, normen, norme),
+                        i + 1,
+                        ~keep_going,
+                        okn,
+                    )
+
+                x, _, norme, nir, _, okr = jax.lax.while_loop(
+                    cond, body, (x, e0, norme0, 0, False, ok0)
+                )
+                ok = okr & jnp.isfinite(norme)
+            else:
+                nir = jnp.asarray(0)
+                ok = jnp.all(jnp.isfinite(x))
+            xout = dj * x[iperm]
+            return xout[:n], xout[n:], ok, nir
 
     elif method == "inverse":
 
         def factorize(P, A, Hs):
-            K, Ks, dj = _assemble(P, A, Hs)
+            K, Ks, dj, _regdiag = _assemble(P, A, Hs)
             # f32: pivoted inversion (XLA's f32 LU) — measured fastest
             # end-to-end: the pivot-free recursion's many small matmuls
             # underutilize the MXU and its f32 accuracy degrades with
@@ -252,7 +363,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
     else:
 
         def factorize(P, A, Hs):
-            K, Ks, dj = _assemble(P, A, Hs)
+            K, Ks, dj, _regdiag = _assemble(P, A, Hs)
             lu, piv = jax.scipy.linalg.lu_factor(Ks.astype(factor_dtype))
             ok = jnp.all(jnp.isfinite(lu))
             return {"lu": lu, "piv": piv, "K": K, "dj": dj}, ok
@@ -263,6 +374,9 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
                 (fac["lu"], fac["piv"]), (dj * b).astype(factor_dtype)
             )
             return dj * x.astype(jnp.float64)
+
+    if method == "pallas":
+        return factorize, _dd_kkt_solve
 
     def _refine(fac, b, x0):
         """Iterative refinement against the unregularized K
@@ -302,18 +416,20 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             norme_out = jnp.where(accept, normen, norme)
             return (x_out, e_out, norme_out, i + 1, ~keep_going, okn)
 
-        x, _, norme, _, _, ok = jax.lax.while_loop(
+        x, _, norme, nir, _, ok = jax.lax.while_loop(
             cond, body, (x0, e0, norme0, 0, False, ok0)
         )
-        return x, ok & jnp.isfinite(norme)
+        return x, ok & jnp.isfinite(norme), nir
 
-    def solve(fac, rx, rz) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def solve(fac, rx, rz):
+        """-> (x, z, ok, n_refinement_passes)."""
         b = jnp.concatenate([rx, rz])
         x = _raw_solve(fac, b)
         if ir_enable:
-            x, ok = _refine(fac, b, x)
+            x, ok, nir = _refine(fac, b, x)
         else:
             ok = jnp.all(jnp.isfinite(x))
-        return x[:n], x[n:], ok
+            nir = jnp.asarray(0)
+        return x[:n], x[n:], ok, nir
 
     return factorize, solve

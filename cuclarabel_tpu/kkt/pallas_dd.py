@@ -1,0 +1,322 @@
+"""Pallas TPU kernels: batched LDL^T KKT engine in double-float (dd)
+arithmetic — f64-quality factors at VPU f32 speed.
+
+Why this exists (round-2 profiling, see CLAUDE.md): the batched IPM's
+per-iteration cost at large B is dominated by the KKT solve+refinement
+chain, not the factorization.  An f32 factor stalls iterative
+refinement when cond(K) ~ 1e8 (contraction ~ cond * eps_f32 ~ 1), and
+computing refinement residuals with XLA's emulated-f64 einsum costs
+~28 ms per matvec at (4096, 76, 76).  Everything here therefore runs in
+**two-float ("double-double" over f32, ~2^-48 relative accuracy)**:
+
+  * `dd_ldl_factor`   — pivot-free LDL^T of the regularized
+    quasidefinite K, batch-across-lanes layout (N, N, B);
+  * `dd_ldl_solve`    — forward/diag/backward substitution;
+  * `dd_residual`     — r = b - K x against the dd-stored K, replacing
+    the emulated-f64 refinement matvec.
+
+Error-free transformations (Dekker two_prod via 2^12+1 splitting,
+Knuth two_sum) are exact under IEEE round-to-nearest f32, which XLA and
+Mosaic preserve (no fast-math reassociation); `tests/test_pallas_dd.py`
+asserts the achieved accuracy against numpy f64 both in interpret mode
+and compiled.
+
+The factorization replicates the numeric semantics of the reference's
+QDLDL backend (`src/kktsolvers/direct-ldl/directldl_qdldl.jl:10-96`):
+one factorization per IPM iteration of a statically regularized
+quasidefinite matrix (no pivoting needed — Vanderbei), all solves
+reusing the factor.  Layout note: operands stay in (N, N, B)
+lane-major form across the whole IPM iteration so no (B, N, N)
+transposes of the factor happen per solve (a 113 MB transpose per call
+in the round-1 integration).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+# the dd factor kernel holds ~24 MB of (N, N, LANES) hi/lo blocks +
+# temporaries per grid step at N~80; raise Mosaic's conservative 16 MB
+# scoped-vmem default (v5e has 128 MiB physical VMEM)
+_CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_SPLIT = 4097.0  # 2^12 + 1: Dekker splitting constant for f32
+
+
+# ---------------------------------------------------------------------
+# double-float primitives (exact under IEEE f32 round-to-nearest)
+# ---------------------------------------------------------------------
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """Requires |a| >= |b| (or a == 0)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _two_prod(a, b):
+    p = a * b
+    ta = a * _SPLIT
+    ah = ta - (ta - a)
+    al = a - ah
+    tb = b * _SPLIT
+    bh = tb - (tb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dd_add(ah, al, bh, bl):
+    sh, sl = _two_sum(ah, bh)
+    sl = sl + (al + bl)
+    return _quick_two_sum(sh, sl)
+
+
+def dd_sub(ah, al, bh, bl):
+    return dd_add(ah, al, -bh, -bl)
+
+
+def dd_mul(ah, al, bh, bl):
+    ph, pe = _two_prod(ah, bh)
+    pe = pe + (ah * bl + al * bh)
+    return _quick_two_sum(ph, pe)
+
+
+def dd_recip(bh, bl):
+    q1 = 1.0 / bh
+    # TPU VPU division can be an approximate-reciprocal lowering (~1e-3
+    # relative); two plain f32 Newton steps make q1 correctly-rounded-
+    # grade before the dd correction squares the remaining error
+    q1 = q1 * (2.0 - bh * q1)
+    q1 = q1 * (2.0 - bh * q1)
+    # r = 1 - q1*b
+    ph, pe = dd_mul(q1, jnp.zeros_like(q1), bh, bl)
+    rh, rl = dd_add(jnp.ones_like(ph), jnp.zeros_like(ph), -ph, -pe)
+    q2 = (rh + rl) * q1
+    return _quick_two_sum(q1, q2)
+
+
+def dd_sum_axis0(h, l):
+    """Pairwise dd reduction along axis 0 of (k, ...): log2(k) levels of
+    vectorized dd_add (tree order also tightens the error bound)."""
+    while h.shape[0] > 1:
+        k = h.shape[0]
+        if k % 2:
+            h = jnp.concatenate([h, jnp.zeros_like(h[:1])], axis=0)
+            l = jnp.concatenate([l, jnp.zeros_like(l[:1])], axis=0)
+            k += 1
+        h, l = dd_add(h[: k // 2], l[: k // 2], h[k // 2 :], l[k // 2 :])
+    return h[0], l[0]
+
+
+# ---------------------------------------------------------------------
+# kernels (batch across lanes: operands (N, N, LANES) per grid step)
+# ---------------------------------------------------------------------
+
+def _ldl_kernel(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref, dh_ref, dl_ref):
+    """In-place unrolled dd LDL^T of one (n, n, lanes) batch tile.
+
+    reg_ref (n, lanes) holds the signed static-regularization diagonal
+    (dsigns * eps in the scaled space); it is added on load so the
+    stored K stays unregularized for residuals."""
+    lh_ref[...] = kh_ref[...]
+    ll_ref[...] = kl_ref[...]
+    # add regularization to the diagonal
+    for j in range(n):
+        h, l = dd_add(lh_ref[j, j, :], ll_ref[j, j, :], reg_ref[j, :],
+                      jnp.zeros_like(reg_ref[j, :]))
+        lh_ref[j, j, :] = h
+        ll_ref[j, j, :] = l
+    for j in range(n):
+        djh = lh_ref[j, j, :]
+        djl = ll_ref[j, j, :]
+        ih, il = dd_recip(djh, djl)
+        dh_ref[j, :] = ih
+        dl_ref[j, :] = il
+        colh = lh_ref[:, j, :]  # (n, lanes); rows < j are dead junk
+        coll = ll_ref[:, j, :]
+        lch, lcl = dd_mul(colh, coll, ih[None, :], il[None, :])
+        lh_ref[:, j, :] = lch
+        ll_ref[:, j, :] = lcl
+        if j + 1 < n:
+            # trailing update: a[:, k] -= col * lcol[k], k > j
+            ph, pe = dd_mul(
+                colh[:, None, :], coll[:, None, :],
+                lch[j + 1 :, :][None, :, :], lcl[j + 1 :, :][None, :, :],
+            )
+            uh, ul = dd_sub(
+                lh_ref[:, j + 1 :, :], ll_ref[:, j + 1 :, :], ph, pe
+            )
+            lh_ref[:, j + 1 :, :] = uh
+            ll_ref[:, j + 1 :, :] = ul
+
+
+def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
+                  xh_ref, xl_ref):
+    """(L+I) D (L+I)^T x = b in dd, in-place substitutions."""
+    xh_ref[...] = bh_ref[...]
+    xl_ref[...] = bl_ref[...]
+    for j in range(1, n):  # forward
+        ph, pe = dd_mul(lh_ref[j, :j, :], ll_ref[j, :j, :],
+                        xh_ref[:j, :], xl_ref[:j, :])
+        sh, sl = dd_sum_axis0(ph, pe)
+        h, l = dd_sub(xh_ref[j, :], xl_ref[j, :], sh, sl)
+        xh_ref[j, :] = h
+        xl_ref[j, :] = l
+    h, l = dd_mul(xh_ref[...], xl_ref[...], dh_ref[...], dl_ref[...])
+    xh_ref[...] = h
+    xl_ref[...] = l
+    for j in range(n - 2, -1, -1):  # backward
+        ph, pe = dd_mul(lh_ref[j + 1 :, j, :], ll_ref[j + 1 :, j, :],
+                        xh_ref[j + 1 :, :], xl_ref[j + 1 :, :])
+        sh, sl = dd_sum_axis0(ph, pe)
+        h, l = dd_sub(xh_ref[j, :], xl_ref[j, :], sh, sl)
+        xh_ref[j, :] = h
+        xl_ref[j, :] = l
+
+
+def _residual_kernel(n, kh_ref, kl_ref, xh_ref, xl_ref, bh_ref, bl_ref,
+                     rh_ref, rl_ref):
+    """r = b - K x in dd (K unregularized): one vectorized (n, n, lanes)
+    dd product, then a pairwise reduction over the contraction axis."""
+    ph, pe = dd_mul(kh_ref[...], kl_ref[...],
+                    xh_ref[...][None, :, :], xl_ref[...][None, :, :])
+    # reduce axis 1 via the axis-0 helper on the swapped view
+    sh, sl = dd_sum_axis0(jnp.swapaxes(ph, 0, 1), jnp.swapaxes(pe, 0, 1))
+    h, l = dd_sub(bh_ref[...], bl_ref[...], sh, sl)
+    rh_ref[...] = h
+    rl_ref[...] = l
+
+
+# ---------------------------------------------------------------------
+# host-facing wrappers (lane-major (N, N, B) / (N, B) operands)
+#
+# NB: deliberately NOT wrapped in jax.jit — these are building blocks
+# called inside already-jitted programs, and a nested jit here breaks
+# MLIR lowering when the same wrapper is traced at different lane
+# counts within one program (custom_vmap reference trace at lanes=1 vs
+# the batched trace; the lowered callee gets deduplicated by name with
+# mismatched shapes).  Standalone users jit at the call site.
+# ---------------------------------------------------------------------
+
+def _pad_lanes(x, bc=LANES):
+    b = x.shape[-1]
+    pad = (-b) % bc
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+        )
+    return x
+
+
+def split_f64(x64):
+    """f64 array -> (hi, lo) f32 pair with hi + lo == fl64(x) to ~2^-48."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def join_f64(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _factor_impl(Kh, Kl, reg, interpret):
+    N = Kh.shape[0]
+    Khp = _pad_lanes(Kh)
+    Klp = _pad_lanes(Kl)
+    regp = _pad_lanes(reg)
+    Bp = Khp.shape[-1]
+    b0 = Kh.shape[-1]
+    mat = pl.BlockSpec((N, N, LANES), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, LANES), lambda i: (0, i))
+    Lh, Ll, Dh, Dl = pl.pallas_call(
+        functools.partial(_ldl_kernel, N),
+        grid=(Bp // LANES,),
+        in_specs=[mat, mat, vec],
+        out_specs=[mat, mat, vec, vec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, N, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, N, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _CP,
+    )(Khp, Klp, regp)
+    return Lh[..., :b0], Ll[..., :b0], Dh[..., :b0], Dl[..., :b0]
+
+
+def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret):
+    N = Lh.shape[0]
+    b0 = bh.shape[-1]
+    args = [_pad_lanes(a) for a in (Lh, Ll, Dh, Dl, bh, bl)]
+    Bp = args[0].shape[-1]
+    mat = pl.BlockSpec((N, N, LANES), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, LANES), lambda i: (0, i))
+    xh, xl = pl.pallas_call(
+        functools.partial(_solve_kernel, N),
+        grid=(Bp // LANES,),
+        in_specs=[mat, mat, vec, vec, vec, vec],
+        out_specs=[vec, vec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _CP,
+    )(*args)
+    return xh[..., :b0], xl[..., :b0]
+
+
+def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret):
+    N = Kh.shape[0]
+    b0 = bh.shape[-1]
+    args = [_pad_lanes(a) for a in (Kh, Kl, xh, xl, bh, bl)]
+    Bp = args[0].shape[-1]
+    mat = pl.BlockSpec((N, N, LANES), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, LANES), lambda i: (0, i))
+    rh, rl = pl.pallas_call(
+        functools.partial(_residual_kernel, N),
+        grid=(Bp // LANES,),
+        in_specs=[mat, mat, vec, vec, vec, vec],
+        out_specs=[vec, vec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _CP,
+    )(*args)
+    return rh[..., :b0], rl[..., :b0]
+
+
+def dd_ldl_factor(Kh, Kl, reg, interpret=False):
+    """Batched dd LDL^T.  Kh/Kl: (N, N, B) f32 pair of the scaled,
+    permuted, UNregularized quasidefinite K; reg: (N, B) signed
+    regularization diagonal added internally.  Returns (Lh, Ll, Dinvh,
+    Dinvl) in the same lane-major layout (strict upper L is junk)."""
+    with jax.enable_x64(False):
+        return _factor_impl(Kh, Kl, reg, interpret)
+
+
+def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
+    """Solve with dd factors; b (N, B) dd pair -> x (N, B) dd pair."""
+    with jax.enable_x64(False):
+        return _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret)
+
+
+def dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=False):
+    """r = b - K x (dd, K unregularized) -> (N, B) dd pair."""
+    with jax.enable_x64(False):
+        return _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret)

@@ -60,7 +60,7 @@ class _HostKKT:
     def factorize(self, P, A, Hs):
         import scipy.sparse as sp
 
-        from ..native import QDLDLFactor
+        from ..native import LDLFactor
 
         st = self.settings
         K = np.block([[P, A.T], [A, -Hs]])
@@ -74,7 +74,7 @@ class _HostKKT:
 
         if self.fac is None:
             Ap, Ai, self.pattern = self._build_pattern(Kreg)
-            self.fac = QDLDLFactor(
+            self.fac = LDLFactor(
                 self.N, Ap, Ai, dsigns.astype(np.int64),
                 reg_enable=st.dynamic_regularization_enable,
                 eps=st.dynamic_regularization_eps,
@@ -127,7 +127,7 @@ def make_sparse_cpu_kkt(n: int, m: int, settings, layout):
         )
         return {"token": token}, token > 0
 
-    def solve(fac, rx, rz) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def solve(fac, rx, rz) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         b = jnp.concatenate([rx, rz])
         x = io_callback(
             host.solve,
@@ -136,6 +136,7 @@ def make_sparse_cpu_kkt(n: int, m: int, settings, layout):
             ordered=True,
         )
         ok = jnp.all(jnp.isfinite(x))
-        return x[:n], x[n:], ok
+        # refinement happens inside the host callback; count not surfaced
+        return x[:n], x[n:], ok, jnp.asarray(0)
 
     return factorize, solve

@@ -2,9 +2,11 @@
 
 The reference solver's L1 linear-algebra backends are compiled
 C/Fortran libraries (QDLDL/CHOLMOD/MA57/Pardiso — SURVEY.md §2.6).
-This package holds their native equivalents for the host-side runtime:
-a from-scratch sparse quasidefinite LDL^T kernel with signed dynamic
-regularization and a minimum-degree ordering (qdldl.cpp).
+This package holds their native equivalent for the host-side runtime:
+a left-looking sparse quasidefinite LDL^T kernel with precomputed
+symbolic structure and signed dynamic regularization, plus a
+minimum-degree ordering (ldl.cpp; see its header for the algorithmic
+provenance).
 
 The shared library is compiled on first use with the system g++ and
 cached next to the source; everything degrades gracefully to the pure
@@ -19,8 +21,8 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "qdldl.cpp")
-_LIB = os.path.join(_HERE, "libqdldl_tpu.so")
+_SRC = os.path.join(_HERE, "ldl.cpp")
+_LIB = os.path.join(_HERE, "libldl_tpu.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -52,12 +54,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if not _build():
         return None
     lib = ctypes.CDLL(_LIB)
-    lib.ldl_etree.restype = ctypes.c_int64
-    lib.ldl_etree.argtypes = [ctypes.c_int64, _I64, _I64, _I64, _I64, _I64]
-    lib.ldl_factor.restype = ctypes.c_int64
-    lib.ldl_factor.argtypes = [
-        ctypes.c_int64, _I64, _I64, _F64, _I64, _I64, _I64, _I64, _F64,
-        _F64, _F64, _I64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+    lib.ldl_analyze.restype = ctypes.c_int64
+    lib.ldl_analyze.argtypes = [ctypes.c_int64, _I64, _I64, _I64, _I64, _I64]
+    lib.ldl_pattern.restype = None
+    lib.ldl_pattern.argtypes = [
+        ctypes.c_int64, _I64, _I64, _I64, _I64,
+        _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64,
+    ]
+    lib.ldl_refactor.restype = ctypes.c_int64
+    lib.ldl_refactor.argtypes = [
+        ctypes.c_int64, _F64,
+        _I64, _I64, _I64,
+        _I64, _I64,
+        _I64, _I64, _F64,
+        _F64, _F64, _I64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double,
         _I64, _F64,
     ]
     lib.ldl_solve.restype = None
@@ -76,19 +87,21 @@ def _ptr_f(a):
     return a.ctypes.data_as(_F64)
 
 
-class QDLDLFactor:
+class LDLFactor:
     """Symbolic + numeric LDL^T of an upper-triangular CSC matrix.
 
-    Mirrors the reference QDLDL backend behavior
+    Behavioral parity with the reference QDLDL backend
     (directldl_qdldl.jl:10-96): symbolic analysis once, numeric
     refactorization in place, signed dynamic regularization, solve.
-    """
+    The implementation is the left-looking sweep of ldl.cpp (symbolic
+    row/column patterns precomputed; no elimination walks at numeric
+    time)."""
 
     def __init__(self, n, Ap, Ai, dsigns, reg_enable=True,
                  eps=1e-13, delta=2e-7):
         lib = get_lib()
         if lib is None:
-            raise RuntimeError("native qdldl library unavailable")
+            raise RuntimeError("native LDL library unavailable")
         self.lib = lib
         self.n = int(n)
         self.Ap = np.ascontiguousarray(Ap, dtype=np.int64)
@@ -99,32 +112,47 @@ class QDLDLFactor:
         self.delta = float(delta)
 
         work = np.zeros(self.n, dtype=np.int64)
-        self.Lnz = np.zeros(self.n, dtype=np.int64)
+        self.Lcnt = np.zeros(self.n, dtype=np.int64)
         self.etree = np.zeros(self.n, dtype=np.int64)
-        nnzL = lib.ldl_etree(
+        nnzL = lib.ldl_analyze(
             self.n, _ptr_i(self.Ap), _ptr_i(self.Ai), _ptr_i(work),
-            _ptr_i(self.Lnz), _ptr_i(self.etree),
+            _ptr_i(self.Lcnt), _ptr_i(self.etree),
         )
         if nnzL < 0:
             raise ValueError("matrix is not upper triangular CSC")
         self.nnzL = int(nnzL)
+        nnzA = int(self.Ap[self.n])
         self.Lp = np.zeros(self.n + 1, dtype=np.int64)
         self.Li = np.zeros(self.nnzL, dtype=np.int64)
+        self.Rp = np.zeros(self.n + 1, dtype=np.int64)
+        self.Rj = np.zeros(self.nnzL, dtype=np.int64)
+        self.Up = np.zeros(self.n + 1, dtype=np.int64)
+        self.Uj = np.zeros(nnzA, dtype=np.int64)
+        self.Usrc = np.zeros(nnzA, dtype=np.int64)
+        pwork = np.zeros(2 * self.n, dtype=np.int64)
+        lib.ldl_pattern(
+            self.n, _ptr_i(self.Ap), _ptr_i(self.Ai), _ptr_i(self.etree),
+            _ptr_i(self.Lcnt), _ptr_i(self.Lp), _ptr_i(self.Li),
+            _ptr_i(self.Rp), _ptr_i(self.Rj), _ptr_i(self.Up),
+            _ptr_i(self.Uj), _ptr_i(self.Usrc), _ptr_i(pwork),
+        )
         self.Lx = np.zeros(self.nnzL)
         self.D = np.zeros(self.n)
         self.Dinv = np.zeros(self.n)
-        self._iwork = np.zeros(3 * self.n, dtype=np.int64)
-        self._fwork = np.zeros(self.n)
+        self._head = np.zeros(self.n, dtype=np.int64)
+        self._acc = np.zeros(self.n)
 
     def refactor(self, Ax) -> bool:
         """Numeric refactorization with the cached symbolic structure."""
         Ax = np.ascontiguousarray(Ax, dtype=np.float64)
-        pos = self.lib.ldl_factor(
-            self.n, _ptr_i(self.Ap), _ptr_i(self.Ai), _ptr_f(Ax),
-            _ptr_i(self.etree), _ptr_i(self.Lnz), _ptr_i(self.Lp),
-            _ptr_i(self.Li), _ptr_f(self.Lx), _ptr_f(self.D),
-            _ptr_f(self.Dinv), _ptr_i(self.dsigns), self.reg_enable,
-            self.eps, self.delta, _ptr_i(self._iwork), _ptr_f(self._fwork),
+        pos = self.lib.ldl_refactor(
+            self.n, _ptr_f(Ax),
+            _ptr_i(self.Up), _ptr_i(self.Uj), _ptr_i(self.Usrc),
+            _ptr_i(self.Rp), _ptr_i(self.Rj),
+            _ptr_i(self.Lp), _ptr_i(self.Li), _ptr_f(self.Lx),
+            _ptr_f(self.D), _ptr_f(self.Dinv), _ptr_i(self.dsigns),
+            self.reg_enable, self.eps, self.delta,
+            _ptr_i(self._head), _ptr_f(self._acc),
         )
         # success iff all D finite (directldl_qdldl.jl:79)
         return pos >= 0 and bool(np.all(np.isfinite(self.D)))
@@ -138,12 +166,16 @@ class QDLDLFactor:
         return x
 
 
+# backwards-compatible alias (round-1 name)
+QDLDLFactor = LDLFactor
+
+
 def mindeg_ordering(n, Ap, Ai) -> np.ndarray:
     """Greedy minimum-degree ordering via the native kernel (full CSC
     pattern input)."""
     lib = get_lib()
     if lib is None:
-        raise RuntimeError("native qdldl library unavailable")
+        raise RuntimeError("native LDL library unavailable")
     Ap = np.ascontiguousarray(Ap, dtype=np.int64)
     Ai = np.ascontiguousarray(Ai, dtype=np.int64)
     perm = np.zeros(n, dtype=np.int64)

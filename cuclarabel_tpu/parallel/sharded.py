@@ -102,13 +102,32 @@ class ShardedSolver:
             "cscale": repl, "normq": repl, "normb": repl,
         }
 
-        base = make_solve_fn(
-            self.layout, settings, n, m, self._has_P,
+        factor_dtype = (
             jnp.float32
             if _resolve_factor_dtype(settings, self.layout) == "float32"
-            else jnp.float64,
-            raw=True,
+            else jnp.float64
         )
+        # explicit block-arrow Schur partitioning (kkt/arrow.py) when the
+        # cone blocks align with the shard boundaries; otherwise fall
+        # back to GSPMD inference over the dense backend
+        self.tp_mode = "arrow"
+        try:
+            base = make_solve_fn(
+                self.layout, settings, n, m, self._has_P, factor_dtype,
+                raw=True, mesh=mesh, mesh_axis="row",
+            )
+        except ValueError as exc:
+            import warnings
+
+            warnings.warn(
+                f"arrow TP backend unavailable ({exc}); falling back to "
+                "GSPMD-partitioned dense backend"
+            )
+            self.tp_mode = "gspmd"
+            base = make_solve_fn(
+                self.layout, settings, n, m, self._has_P, factor_dtype,
+                raw=True,
+            )
         self._fn = jax.jit(base, in_shardings=(self._shardings,))
 
         host = {

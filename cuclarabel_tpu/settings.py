@@ -56,7 +56,9 @@ class Settings:
     # src/kktsolvers/direct-ldl/directldl_defaults.jl):
     # "dense" = dense factorization/inversion on device (TPU MXU path);
     # "qdldl" = native C++ sparse LDL^T host-side (CPU path);
-    # "auto"  = "dense".
+    # "arrow" = block-arrow Schur complement partitioned over a device
+    #           mesh (tensor-parallel; requires ShardedSolver);
+    # "auto"  = "dense" single-device, "arrow" on a mesh.
     direct_solve_method: str = "auto"
     max_threads: int = 0
 
@@ -132,7 +134,7 @@ class Settings:
             raise ValueError("max_step_fraction must be in (0, 1]")
         if self.kkt_factor_precision not in ("auto", "float32", "float64"):
             raise ValueError("kkt_factor_precision must be auto|float32|float64")
-        if self.direct_solve_method not in ("auto", "dense", "qdldl"):
+        if self.direct_solve_method not in ("auto", "dense", "qdldl", "arrow"):
             raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")
         if self.kkt_solve_method not in ("auto", "lu", "inverse", "pallas"):
             raise ValueError("kkt_solve_method must be auto|lu|inverse|pallas")

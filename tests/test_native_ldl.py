@@ -4,7 +4,7 @@ NumPy references on random quasidefinite KKT matrices."""
 import numpy as np
 import pytest
 
-from cuclarabel_tpu.native import QDLDLFactor, get_lib, mindeg_ordering
+from cuclarabel_tpu.native import LDLFactor, get_lib, mindeg_ordering
 
 pytestmark = pytest.mark.skipif(
     get_lib() is None, reason="no C++ toolchain available"
@@ -40,7 +40,7 @@ def test_factor_solve_quasidefinite():
     n, m = 12, 9
     K, dsigns = _random_kkt(n, m)
     Ap, Ai, Ax = _dense_to_upper_csc(K)
-    fac = QDLDLFactor(n + m, Ap, Ai, dsigns, reg_enable=False)
+    fac = LDLFactor(n + m, Ap, Ai, dsigns, reg_enable=False)
     assert fac.refactor(Ax)
     for _ in range(3):
         b = rng.standard_normal(n + m)
@@ -52,7 +52,7 @@ def test_refactor_reuses_symbolic():
     n, m = 8, 5
     K, dsigns = _random_kkt(n, m)
     Ap, Ai, Ax = _dense_to_upper_csc(K)
-    fac = QDLDLFactor(n + m, Ap, Ai, dsigns)
+    fac = LDLFactor(n + m, Ap, Ai, dsigns)
     assert fac.refactor(Ax)
     # change numeric values, same pattern
     K2 = K.copy()
@@ -69,7 +69,7 @@ def test_dynamic_regularization_rescues_zero_pivot():
     K = np.array([[1.0, 1.0], [1.0, 1.0]])  # singular
     Ap, Ai, Ax = _dense_to_upper_csc(K)
     dsigns = np.array([1, -1], dtype=np.int64)
-    fac = QDLDLFactor(2, Ap, Ai, dsigns, reg_enable=True, delta=2e-7)
+    fac = LDLFactor(2, Ap, Ai, dsigns, reg_enable=True, delta=2e-7)
     assert fac.refactor(Ax)
     assert np.isfinite(fac.D).all() and fac.D[1] != 0.0
 
@@ -78,7 +78,7 @@ def test_ldl_signs_match_quasidefiniteness():
     n, m = 6, 4
     K, dsigns = _random_kkt(n, m)
     Ap, Ai, Ax = _dense_to_upper_csc(K)
-    fac = QDLDLFactor(n + m, Ap, Ai, dsigns, reg_enable=False)
+    fac = LDLFactor(n + m, Ap, Ai, dsigns, reg_enable=False)
     assert fac.refactor(Ax)
     # quasidefinite: inertia = (n, m)
     assert (fac.D > 0).sum() == n

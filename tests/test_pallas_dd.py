@@ -1,0 +1,214 @@
+"""Double-float Pallas KKT engine: accuracy against numpy f64.
+
+Interpret mode on CPU; the same assertions run compiled on real TPU via
+scripts/tpu_dd_check.py (error-free transformations depend on strict
+IEEE f32 — a fast-math compiler would break them, so the compiled check
+matters)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from cuclarabel_tpu.kkt.pallas_dd import (
+    dd_ldl_factor,
+    dd_ldl_solve,
+    dd_residual,
+    join_f64,
+    split_f64,
+)
+
+
+def _make_qd(rng, B, n, m, spread=4.0):
+    """Batch of statically-regularizable quasidefinite KKT matrices with
+    an Hs diagonal spanning 10^±spread (late-IPM conditioning)."""
+    N = n + m
+    A = rng.standard_normal((B, m, n))
+    Pd = np.zeros((B, n, n))
+    for i in range(B):
+        G = rng.standard_normal((n, n)) / np.sqrt(n)
+        Pd[i] = G @ G.T
+    Hs = 10.0 ** rng.uniform(-spread, spread, (B, m))
+    K = np.zeros((B, N, N))
+    K[:, :n, :n] = Pd
+    K[:, :n, n:] = np.transpose(A, (0, 2, 1))
+    K[:, n:, :n] = A
+    K[:, n:, n:] = -np.einsum("bi,ij->bij", Hs, np.eye(m))
+    return K
+
+
+def _lane(x):  # (B, ...) -> (..., B)
+    return jnp.moveaxis(jnp.asarray(x), 0, -1)
+
+
+def _unlane(x):  # (..., B) -> (B, ...)
+    return np.moveaxis(np.asarray(x), -1, 0)
+
+
+def test_split_join_roundtrip():
+    x = np.array([1.0, np.pi, 1e12 + 0.125, -3e-20, 0.0])
+    hi, lo = split_f64(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(join_f64(hi, lo)), x, rtol=3e-15)
+
+
+def test_dd_factor_solve_accuracy():
+    rng = np.random.default_rng(0)
+    B, n, m = 7, 11, 14
+    N = n + m
+    K = _make_qd(rng, B, n, m)
+    eps = 1e-8
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    b = rng.standard_normal((B, N))
+
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(jnp.asarray(dsigns * eps)[:, None], (N, B))
+    Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                   interpret=True)
+    bh, bl = split_f64(_lane(b))
+    xh, xl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
+    x = _unlane(join_f64(xh, xl))
+
+    Kreg = K + (dsigns * eps) * np.eye(N)
+    x_ref = np.linalg.solve(Kreg, b[..., None])[..., 0]
+    err = np.abs(x - x_ref).max() / max(np.abs(x_ref).max(), 1.0)
+    # cond(K) ~ 1e8 here; dd (~2^-48) leaves ~1e-10 headroom vs the f64
+    # reference, which itself carries cond*eps64 error
+    assert err < 1e-9, err
+
+
+def test_dd_residual_accuracy():
+    rng = np.random.default_rng(1)
+    B, n, m = 5, 8, 9
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=2.0)
+    b = rng.standard_normal((B, N))
+    x = rng.standard_normal((B, N)) * 1e3
+
+    Kh, Kl = split_f64(_lane(K))
+    bh, bl = split_f64(_lane(b))
+    xh, xl = split_f64(_lane(x))
+    rh, rl = dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=True)
+    r = _unlane(join_f64(rh, rl))
+
+    r_ref = b - np.einsum("bij,bj->bi", K, x)
+    scale = np.abs(np.einsum("bij,bj->bi", np.abs(K), np.abs(x))).max()
+    assert np.abs(r - r_ref).max() / scale < 1e-13
+
+
+def test_dd_solve_ill_conditioned():
+    """The motivating case: cond(K) ~ 1e8 where a plain f32 factor
+    stalls refinement.  dd factors must hit ~1e-10 directly."""
+    rng = np.random.default_rng(2)
+    B, n, m = 4, 6, 10
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=6.0)
+    eps = 1e-8
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    b = rng.standard_normal((B, N))
+
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(jnp.asarray(dsigns * eps)[:, None], (N, B))
+    Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                   interpret=True)
+    bh, bl = split_f64(_lane(b))
+    xh, xl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
+    x = _unlane(join_f64(xh, xl))
+
+    Kreg = K + (dsigns * eps) * np.eye(N)
+    res = b - np.einsum("bij,bj->bi", Kreg, x)
+    relres = np.abs(res).max() / np.abs(b).max()
+    assert relres < 1e-9, relres
+
+
+def test_dd_batch_padding():
+    """Non-multiple-of-128 batch sizes pad transparently."""
+    rng = np.random.default_rng(3)
+    B, n, m = 3, 4, 5
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=1.0)
+    b = rng.standard_normal((B, N))
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(jnp.asarray(dsigns * 1e-8)[:, None], (N, B))
+    Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                   interpret=True)
+    assert Lh.shape == (N, N, B)
+    bh, bl = split_f64(_lane(b))
+    xh, xl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
+    assert xh.shape == (N, B)
+
+
+# ---------------------------------------------------------------------
+# end-to-end through the solver (interpret mode on CPU)
+# ---------------------------------------------------------------------
+
+def _qp():
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    b = np.array([1.0, 1.0, 1.0])
+    from cuclarabel_tpu.cones import api
+    cones = [api.NonnegativeConeT(1), api.ZeroConeT(1),
+             api.NonnegativeConeT(1)]
+    return P, q, A, b, cones
+
+
+def test_dd_solver_end_to_end():
+    from cuclarabel_tpu.solver import Solver
+    from cuclarabel_tpu.statuscodes import SolverStatus
+
+    P, q, A, b, cones = _qp()
+    s_dd = Solver(P, q, A, b, cones, kkt_solve_method="pallas").solve()
+    s_ref = Solver(P, q, A, b, cones).solve()
+    assert s_dd.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(s_dd.x, s_ref.x, atol=1e-9)
+    assert abs(s_dd.obj_val - s_ref.obj_val) < 1e-9
+
+
+def test_dd_solver_batched_matches_single():
+    from cuclarabel_tpu.parallel import BatchSolver
+    from cuclarabel_tpu.solver import Solver
+    from cuclarabel_tpu.statuscodes import SolverStatus
+
+    P, q, A, b, cones = _qp()
+    B = 3
+    rng = np.random.default_rng(0)
+    qb = np.broadcast_to(q, (B, 2)) + 0.1 * rng.standard_normal((B, 2))
+    bb = np.broadcast_to(b, (B, 3)).copy()
+    sols = BatchSolver(P, qb, A, bb, cones,
+                       kkt_solve_method="pallas").solve()
+    for i, s in enumerate(sols):
+        assert s.status == SolverStatus.SOLVED
+        ref = Solver(P, qb[i], A, bb[i], cones,
+                     equilibrate_enable=True,
+                     presolve_enable=False).solve()
+        np.testing.assert_allclose(s.x, ref.x, atol=1e-7)
+
+
+def test_dd_solver_socp():
+    """SOC cone through the dd KKT path (portfolio-style)."""
+    from cuclarabel_tpu.cones import api
+    from cuclarabel_tpu.solver import Solver
+    from cuclarabel_tpu.statuscodes import SolverStatus
+
+    # min -mu'w s.t. sum w = 1, w >= 0, ||G w|| <= gamma
+    rng = np.random.default_rng(1)
+    n = 6
+    G = rng.standard_normal((4, n)) / 4.0
+    mu = rng.random(n)
+    gamma = 0.3
+    q = -mu
+    A = np.vstack([
+        np.ones((1, n)),          # Zero: sum = 1
+        -np.eye(n),               # NN:   w >= 0
+        np.zeros((1, n)),         # SOC t row
+        -G,                       # SOC vec rows
+    ])
+    b = np.concatenate([[1.0], np.zeros(n), [gamma], np.zeros(4)])
+    cones = [api.ZeroConeT(1), api.NonnegativeConeT(n),
+             api.SecondOrderConeT(5)]
+    sol = Solver(None, q, A, b, cones, kkt_solve_method="pallas").solve()
+    ref = Solver(None, q, A, b, cones).solve()
+    assert sol.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)
