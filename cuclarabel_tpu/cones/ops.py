@@ -351,6 +351,27 @@ def update_scaling(
 # ---------------------------------------------------------------------------
 
 
+def hs_is_diagonal(layout: ConeLayout) -> bool:
+    """True when every cone's Hs block is diagonal (Zero/Nonnegative
+    only) — the sparse KKT path's v1 requirement (Hs_is_diagonal,
+    coneops_defaults.jl semantics)."""
+    return not (
+        layout.has_soc or layout.has_psd or layout.has_exp
+        or layout.has_pow or layout.has_genpow
+    )
+
+
+def assemble_Hs_diag(layout: ConeLayout, state: ScalingState):
+    """Diagonal of Hs for diagonal-only layouts (sparse KKT backend).
+    NN: w^2 (coneops_nncone.jl get_Hs!); Zero: 0."""
+    if not hs_is_diagonal(layout):
+        raise ValueError("assemble_Hs_diag needs a Zero/NN-only layout")
+    diag = jnp.zeros(layout.m)
+    if layout.has_nn:
+        diag = jnp.where(layout.nn_mask, state["nn_w"] ** 2, diag)
+    return diag
+
+
 def assemble_Hs_dense(layout: ConeLayout, state: ScalingState):
     """Materialize the block-diagonal Hs as a dense (m, m) matrix for the
     dense KKT backend.  Hs = W'W for symmetric cones, mu*H / BFGS Hs for

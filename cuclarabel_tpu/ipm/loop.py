@@ -68,7 +68,7 @@ def _norm_scaled(w, v):
 
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                   factor_dtype, raw: bool = False, mesh=None,
-                  mesh_axis: str = "row"):
+                  mesh_axis: str = "row", sparse=None):
     """Builds the jitted solve function for this (layout, settings,
     dims) signature.  The returned fn maps a dict of device arrays
     {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
@@ -80,7 +80,25 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
     sym = layout.is_symmetric
     deg1 = layout.degree + 1
-    if settings.direct_solve_method == "qdldl":
+    if sparse is not None:
+        # device sparse multifrontal backend (kkt/sparse_tpu.py);
+        # problem data stays as nz values end-to-end
+        from ..kkt.sparse_tpu import make_sparse_tpu_kkt
+
+        factorize, kkt_solve = make_sparse_tpu_kkt(
+            n, m, settings, layout, sparse
+        )
+        # static matvec triplets (host numpy -> baked constants)
+        _pf_off = sparse.P_rows != sparse.P_cols
+        _pf_rows = np.concatenate([sparse.P_rows, sparse.P_cols[_pf_off]])
+        _pf_cols = np.concatenate([sparse.P_cols, sparse.P_rows[_pf_off]])
+        _pf_src = np.concatenate([
+            np.arange(sparse.P_rows.shape[0], dtype=np.int64),
+            np.nonzero(_pf_off)[0],
+        ])
+        _a_rows = sparse.A_rows
+        _a_cols = sparse.A_cols
+    elif settings.direct_solve_method == "qdldl":
         # native C++ sparse LDL^T, host-side via pure_callback (CPU path;
         # mirrors the reference's pluggable L1 backend registry,
         # directldl_defaults.jl:1-73)
@@ -106,25 +124,53 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
     # ------------------------------------------------------------------
     def solve(dev: Dict[str, jnp.ndarray]):
-        P, q, A, b = dev["P"], dev["q"], dev["A"], dev["b"]
+        q, b = dev["q"], dev["b"]
         d, dinv = dev["d"], dev["dinv"]
         e, einv = dev["e"], dev["einv"]
         cinv = 1.0 / dev["cscale"]
         normq, normb = dev["normq"], dev["normb"]
 
+        if sparse is None:
+            P, A = dev["P"], dev["A"]
+            Pmv = lambda v: P @ v
+            Amv = lambda v: A @ v
+            ATmv = lambda v: A.T @ v
+        else:
+            Pv, Av = dev["Pv"], dev["Av"]
+            pfr, pfc = jnp.asarray(_pf_rows), jnp.asarray(_pf_cols)
+            pfs = jnp.asarray(_pf_src)
+            ar, ac = jnp.asarray(_a_rows), jnp.asarray(_a_cols)
+
+            def Pmv(v):
+                if _pf_rows.size == 0:
+                    return jnp.zeros(n)
+                return jax.ops.segment_sum(
+                    Pv[pfs] * v[pfc], pfr, num_segments=n
+                )
+
+            def Amv(v):
+                return jax.ops.segment_sum(
+                    Av * v[ac], ar, num_segments=m
+                )
+
+            def ATmv(v):
+                return jax.ops.segment_sum(
+                    Av * v[ar], ac, num_segments=n
+                )
+
         def quad(u, v):
-            return u @ (P @ v)
+            return u @ Pmv(v)
 
         # -------------------- residuals (residuals.jl:1-37)
         def residuals(v):
             x, s_, z_, tau = v["x"], v["s"], v["z"], v["tau"]
-            Px = P @ x
+            Px = Pmv(x)
             qx = q @ x
             bz = b @ z_
             sz = s_ @ z_
             xPx = x @ Px
-            rx_inf = -(A.T @ z_)
-            rz_inf = A @ x + s_
+            rx_inf = -ATmv(z_)
+            rz_inf = Amv(x) + s_
             return {
                 "rx": rx_inf - Px - q * tau,
                 "rz": rz_inf - b * tau,
@@ -355,8 +401,14 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         def default_start():
             if sym:
                 scal0 = cone_ops.set_identity_scaling(layout)
-                Hs0 = cone_ops.assemble_Hs_dense(layout, scal0)
-                fac, _ = factorize(P, A, Hs0)
+                if sparse is None:
+                    fac, _ = factorize(
+                        P, A, cone_ops.assemble_Hs_dense(layout, scal0)
+                    )
+                else:
+                    fac, _ = factorize(
+                        Pv, Av, cone_ops.assemble_Hs_diag(layout, scal0)
+                    )
                 if has_P:
                     # QP init (kktsystem.jl:120-128)
                     x0, z0, _, _ = kkt_solve(fac, -q, b)
@@ -483,8 +535,12 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             it = jnp.where(proceed, s_["iter"] + 1, s_["iter"]).astype(jnp.int32)
 
             # --- KKT update + constant-rhs solve (kktsystem.jl:62-92)
-            Hs = cone_ops.assemble_Hs_dense(layout, scal)
-            fac, okf = factorize(P, A, Hs)
+            if sparse is None:
+                Hs = cone_ops.assemble_Hs_dense(layout, scal)
+                fac, okf = factorize(P, A, Hs)
+            else:
+                hsd = cone_ops.assemble_Hs_diag(layout, scal)
+                fac, okf = factorize(Pv, Av, hsd)
             x2, z2, okc, nir_c = kkt_solve(fac, -q, b)
             kkt_ok = okf & okc
 

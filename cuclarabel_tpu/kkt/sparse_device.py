@@ -1,0 +1,409 @@
+"""Device-side sparse LDL^T: level-scheduled batched multifrontal.
+
+The TPU-native sparse direct solver (SURVEY.md §2.6 "TPU-native
+equivalents required"; the reference's counterpart is the QDLDL
+backend, directldl_qdldl.jl:10-96).  Design:
+
+  * host symbolic analysis (sparse_symbolic.py) produces supernodes and
+    a level schedule; all supernodes of one level are independent;
+  * the numeric phase runs one jitted program: per level, the frontal
+    matrices are assembled by STATIC scatter-adds (precomputed flat
+    index maps over the K values and the child-update buffer), then a
+    batched dense partial-LDL^T with signed dynamic regularization
+    (QDLDL semantics, directldl_qdldl.jl:18-25) eliminates the panel
+    columns, and the Schur updates are written back to the flat update
+    buffer;
+  * triangular solves walk the levels with static gather/scatter-add.
+
+Supernode widths are capped (panel splitting in the symbolic phase
+caller) so the unrolled elimination stays compile-friendly; fronts in a
+level are padded to the level's max (identity columns eliminate as
+no-ops).  Everything data-dependent is per-value only — the whole
+control structure is baked at trace time, which is exactly what XLA
+wants.
+"""
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse_symbolic import SymbolicPlan, analyze
+
+
+@dataclasses.dataclass
+class _LevelPlan:
+    snodes: np.ndarray      # snode ids in this level (k,)
+    wmax: int               # padded panel width
+    fmax: int               # padded front size (wmax + rmax)
+    # assembly: K values -> front slots
+    k_src: np.ndarray       # indices into Kv
+    k_dst: np.ndarray       # flat indices into (k, fmax, fmax)
+    # assembly: child update buffer -> front slots
+    u_src: np.ndarray       # indices into ubuf
+    u_dst: np.ndarray
+    # per-front-column global column id (or -1 padding)
+    col_gid: np.ndarray     # (k, wmax)
+    dsign: np.ndarray       # (k, wmax) signs for regularization
+    # update write-back: front slots -> ubuf positions
+    w_src: np.ndarray       # flat indices into (k, fmax, fmax)
+    w_dst: np.ndarray       # indices into ubuf
+    # solve maps: global row index per front slot (k, fmax); padding -> N
+    gidx: np.ndarray
+
+
+@dataclasses.dataclass
+class NumericPlan:
+    sym: SymbolicPlan
+    levels: List[_LevelPlan]
+    ubuf_size: int
+    N: int
+
+
+def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
+    """dsigns: (N,) quasidefinite signs in the ORIGINAL ordering."""
+    N = sym.N
+    ds_perm = np.asarray(dsigns, dtype=np.float64)[sym.perm]
+
+    # global front-local index lookup per snode
+    sn_front: List[np.ndarray] = []
+    sn_pos = {}  # (snode, global idx) -> local slot
+    for s in range(sym.ns):
+        c0, c1 = int(sym.sn_starts[s]), int(sym.sn_starts[s + 1])
+        idx = np.concatenate([
+            np.arange(c0, c1, dtype=np.int64), sym.sn_rows[s]
+        ])
+        sn_front.append(idx)
+        for t, g in enumerate(idx):
+            sn_pos[(s, int(g))] = t
+
+    col2sn = np.zeros(N, dtype=np.int64)
+    for s in range(sym.ns):
+        col2sn[sym.sn_starts[s]: sym.sn_starts[s + 1]] = s
+
+    # update-buffer offsets
+    uoff = np.zeros(sym.ns + 1, dtype=np.int64)
+    for s in range(sym.ns):
+        uoff[s + 1] = uoff[s] + len(sym.sn_rows[s]) ** 2
+    ubuf_size = int(uoff[-1])
+
+    # group K entries by owning snode (snode of the row index = min)
+    Ap, Ai = sym.Ap, sym.Ai
+    ent_by_sn: List[List] = [[] for _ in range(sym.ns)]
+    for j in range(N):
+        for p in range(Ap[j], Ap[j + 1]):
+            i = int(Ai[p])          # i <= j
+            s = int(col2sn[i])
+            ent_by_sn[s].append((p, i, j))
+
+    level_plans: List[_LevelPlan] = []
+    for lev_sns in sym.levels:
+        k = len(lev_sns)
+        widths = [sym.front_width(int(s)) for s in lev_sns]
+        rlens = [len(sym.sn_rows[int(s)]) for s in lev_sns]
+        wmax = max(widths)
+        rmax = max(rlens) if rlens else 0
+        fmax = wmax + rmax
+
+        k_src, k_dst = [], []
+        u_src, u_dst = [], []
+        w_src, w_dst = [], []
+        col_gid = np.full((k, wmax), -1, dtype=np.int64)
+        dsign = np.ones((k, wmax), dtype=np.float64)
+        gidx = np.full((k, fmax), N, dtype=np.int64)
+
+        for fi, s in enumerate(int(x) for x in lev_sns):
+            w = sym.front_width(s)
+            r = len(sym.sn_rows[s])
+            c0 = int(sym.sn_starts[s])
+            # local slot of global g within the PADDED front
+            def slot(g):
+                t = sn_pos[(s, int(g))]
+                return t if t < w else wmax + (t - w)
+
+            front_ids = sn_front[s]
+            for t, g in enumerate(front_ids):
+                gidx[fi, slot(g)] = int(g)
+            col_gid[fi, :w] = np.arange(c0, c0 + w)
+            dsign[fi, :w] = ds_perm[c0: c0 + w]
+
+            base = fi * fmax * fmax
+            # K entries
+            for (p, i, j) in ent_by_sn[s]:
+                li, lj = slot(i), slot(j)
+                k_src.append(p)
+                k_dst.append(base + li * fmax + lj)
+                if li != lj:
+                    k_src.append(p)
+                    k_dst.append(base + lj * fmax + li)
+            # children updates
+            for c in np.nonzero(sym.sn_parent == s)[0]:
+                rows_c = sym.sn_rows[int(c)]
+                rc = len(rows_c)
+                slots = [slot(g) for g in rows_c]
+                for a in range(rc):
+                    for b_ in range(rc):
+                        u_src.append(int(uoff[c]) + a * rc + b_)
+                        u_dst.append(
+                            base + slots[a] * fmax + slots[b_]
+                        )
+            # update write-back (rows block after elimination)
+            for a in range(r):
+                for b_ in range(r):
+                    w_src.append(
+                        base + (wmax + a) * fmax + (wmax + b_)
+                    )
+                    w_dst.append(int(uoff[s]) + a * r + b_)
+
+        level_plans.append(_LevelPlan(
+            snodes=np.asarray(lev_sns, dtype=np.int64),
+            wmax=wmax, fmax=fmax,
+            k_src=np.asarray(k_src, dtype=np.int64),
+            k_dst=np.asarray(k_dst, dtype=np.int64),
+            u_src=np.asarray(u_src, dtype=np.int64),
+            u_dst=np.asarray(u_dst, dtype=np.int64),
+            col_gid=col_gid, dsign=dsign,
+            w_src=np.asarray(w_src, dtype=np.int64),
+            w_dst=np.asarray(w_dst, dtype=np.int64),
+            gidx=gidx,
+        ))
+
+    return NumericPlan(sym=sym, levels=level_plans,
+                       ubuf_size=ubuf_size, N=N)
+
+
+# ---------------------------------------------------------------------
+# numeric phase (jittable)
+# ---------------------------------------------------------------------
+
+def factor(plan: NumericPlan, Kv, *, reg_enable=True, eps=1e-13,
+           delta=2e-7):
+    """Kv: (nnz,) values of the permuted upper pattern.  Returns
+    (fac, ok): fac holds per-level factored fronts + global Dinv."""
+    N = plan.N
+    ubuf = jnp.zeros(plan.ubuf_size, dtype=Kv.dtype)
+    Dinv = jnp.zeros(N + 1, dtype=Kv.dtype)
+    fronts_out = []
+    ok = jnp.asarray(True)
+
+    for lp in plan.levels:
+        k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
+        F = jnp.zeros(k * fmax * fmax, dtype=Kv.dtype)
+        F = F.at[jnp.asarray(lp.k_dst)].add(Kv[jnp.asarray(lp.k_src)])
+        if lp.u_src.size:
+            F = F.at[jnp.asarray(lp.u_dst)].add(
+                ubuf[jnp.asarray(lp.u_src)]
+            )
+        F = F.reshape(k, fmax, fmax)
+        # identity-pad the unused column slots
+        pad = lp.col_gid < 0
+        if pad.any():
+            padv = jnp.asarray(pad.astype(np.float64))
+            F = F + jax.vmap(jnp.diag)(
+                jnp.pad(padv, ((0, 0), (0, fmax - wmax)))
+            ).astype(Kv.dtype)
+
+        # masked fori_loop elimination: constant IR per level so deep
+        # level schedules stay compile-friendly
+        dsign = jnp.asarray(
+            np.pad(lp.dsign, ((0, 0), (0, fmax - wmax)),
+                   constant_values=1.0),
+            dtype=Kv.dtype,
+        )
+        iota = jnp.arange(fmax)
+
+        def elim_body(j, carry):
+            F, ok = carry
+            dj = F[:, j, j]
+            if reg_enable:
+                bad = (dj == 0.0) | (dsign[:, j] * dj < eps)
+                dj = jnp.where(bad, dsign[:, j] * delta, dj)
+            ok = ok & jnp.all(dj != 0.0)
+            dinv = 1.0 / dj
+            col = F[:, :, j]
+            lcol = col * dinv[:, None]
+            gt = (iota > j).astype(Kv.dtype)
+            F = F - col[:, :, None] * (lcol * gt)[:, None, :]
+            newcol = lcol.at[:, j].set(dj)  # D kept on the diagonal slot
+            F = F.at[:, :, j].set(newcol)
+            return F, ok
+
+        F, ok = jax.lax.fori_loop(0, wmax, elim_body, (F, ok))
+        # write D^{-1} for the real columns
+        cg = jnp.asarray(np.where(lp.col_gid < 0, N, lp.col_gid))
+        dvals = 1.0 / jax.vmap(jnp.diag)(F)[:, :wmax]
+        Dinv = Dinv.at[cg.ravel()].set(dvals.ravel())
+        # update write-back
+        if lp.w_src.size:
+            ubuf = ubuf.at[jnp.asarray(lp.w_dst)].set(
+                F.reshape(-1)[jnp.asarray(lp.w_src)]
+            )
+        fronts_out.append(F)
+
+    ok = ok & jnp.all(jnp.isfinite(Dinv))
+    return {"fronts": fronts_out, "Dinv": Dinv}, ok
+
+
+def solve(plan: NumericPlan, fac, b):
+    """Solve K x = b with the factored fronts; b (N,) in ORIGINAL order."""
+    N = plan.N
+    perm = jnp.asarray(plan.sym.perm)
+    iperm = jnp.asarray(plan.sym.iperm)
+    x = jnp.concatenate([b[perm], jnp.zeros(1, b.dtype)])  # slot N = dump
+
+    # forward: (L + I) y = b, leaves -> roots
+    for lp, F in zip(plan.levels, fac["fronts"]):
+        k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
+        g = jnp.asarray(lp.gidx)
+        iota = jnp.arange(fmax)
+        xf = x[g]  # (k, fmax)
+
+        def fwd_body(j, xf):
+            gt = (iota > j).astype(xf.dtype)
+            return xf - (F[:, :, j] * gt[None, :]) * xf[:, j][:, None]
+
+        xf = jax.lax.fori_loop(0, wmax, fwd_body, xf)
+        # columns: overwrite; rows: accumulate the delta
+        cg = jnp.asarray(np.where(lp.col_gid < 0, N, lp.col_gid))
+        x = x.at[cg.ravel()].set(xf[:, :wmax].ravel())
+        delta = xf[:, wmax:] - x[g[:, wmax:]]
+        x = x.at[g[:, wmax:].ravel()].add(delta.ravel())
+
+    # diagonal
+    x = x * fac["Dinv"]
+
+    # backward: (L + I)' x = y, roots -> leaves
+    for lp, F in zip(reversed(plan.levels), reversed(fac["fronts"])):
+        k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
+        g = jnp.asarray(lp.gidx)
+        iota = jnp.arange(fmax)
+        xf = x[g]
+
+        def bwd_body(jj, xf):
+            j = wmax - 1 - jj
+            gt = (iota > j).astype(xf.dtype)
+            dot = jnp.sum((F[:, :, j] * gt[None, :]) * xf, axis=1)
+            return xf.at[:, j].add(-dot)
+
+        xf = jax.lax.fori_loop(0, wmax, bwd_body, xf)
+        cg = jnp.asarray(np.where(lp.col_gid < 0, N, lp.col_gid))
+        x = x.at[cg.ravel()].set(xf[:, :wmax].ravel())
+
+    return x[:N][iperm]
+
+
+# ---------------------------------------------------------------------
+# convenience wrapper mirroring native.LDLFactor for tests
+# ---------------------------------------------------------------------
+
+class SparseDeviceLDL:
+    """Symbolic-once / refactor-many sparse LDL^T running on device.
+
+    Input: upper-triangular CSC (Ap, Ai) pattern with quasidefinite
+    dsigns; `refactor(Ax)` then `solve(b)`."""
+
+    def __init__(self, N, Ap, Ai, dsigns, reg_enable=True, eps=1e-13,
+                 delta=2e-7, order=None, max_width: int = 32,
+                 relax: int = 8):
+        self.N = int(N)
+        Ap = np.asarray(Ap, dtype=np.int64)
+        Ai = np.asarray(Ai, dtype=np.int64)
+        sym = analyze(self.N, Ap, Ai, order=order, relax=relax)
+        sym = _split_wide_supernodes(sym, max_width)
+        self.sym = sym
+        self.plan = build_numeric_plan(sym, np.asarray(dsigns))
+        self._kmap = _value_permutation(self.N, Ap, Ai, sym)
+        self.reg = (bool(reg_enable), float(eps), float(delta))
+        self._fac = None
+
+        rb, ee, dd = self.reg
+        self._jfactor = jax.jit(
+            lambda Kv: factor(self.plan, Kv, reg_enable=rb, eps=ee,
+                              delta=dd)
+        )
+        self._jsolve = jax.jit(lambda fac, b: solve(self.plan, fac, b))
+
+    def refactor(self, Ax) -> bool:
+        Kv = jnp.asarray(np.asarray(Ax, dtype=np.float64)[self._kmap])
+        self._fac, ok = self._jfactor(Kv)
+        return bool(ok)
+
+    def solve(self, b):
+        return np.asarray(self._jsolve(self._fac, jnp.asarray(b)))
+
+
+def _split_wide_supernodes(sym: SymbolicPlan, max_width: int):
+    """Split supernodes wider than max_width into chained panels so the
+    unrolled elimination stays bounded.  A panel's rows = remaining
+    panel columns + the original rows; its parent is the next panel."""
+    new_starts = [0]
+    for s in range(sym.ns):
+        c0, c1 = int(sym.sn_starts[s]), int(sym.sn_starts[s + 1])
+        c = c0
+        while c1 - c > max_width:
+            c += max_width
+            new_starts.append(c)
+        new_starts.append(c1)
+    new_starts = np.asarray(sorted(set(new_starts)), dtype=np.int64)
+    if new_starts.shape[0] == sym.sn_starts.shape[0]:
+        return sym
+
+    ns = new_starts.shape[0] - 1
+    old_of = np.zeros(ns, dtype=np.int64)
+    for t in range(ns):
+        old_of[t] = np.searchsorted(sym.sn_starts, new_starts[t],
+                                    side="right") - 1
+    sn_rows: List[np.ndarray] = []
+    for t in range(ns):
+        s = int(old_of[t])
+        c1_new = int(new_starts[t + 1])
+        c1_old = int(sym.sn_starts[s + 1])
+        extra = np.arange(c1_new, c1_old, dtype=np.int64)
+        sn_rows.append(np.concatenate([extra, sym.sn_rows[s]]))
+
+    sn_parent = np.full(ns, -1, dtype=np.int64)
+    col2sn = np.zeros(sym.N, dtype=np.int64)
+    for t in range(ns):
+        col2sn[new_starts[t]: new_starts[t + 1]] = t
+    for t in range(ns):
+        if sn_rows[t].shape[0]:
+            sn_parent[t] = col2sn[sn_rows[t][0]]
+
+    children: List[List[int]] = [[] for _ in range(ns)]
+    for t in range(ns):
+        if sn_parent[t] != -1:
+            children[sn_parent[t]].append(t)
+    level = np.zeros(ns, dtype=np.int64)
+    for t in range(ns):
+        if children[t]:
+            level[t] = 1 + max(level[c] for c in children[t])
+    nlev = int(level.max()) + 1 if ns else 0
+    levels = [np.nonzero(level == l)[0].astype(np.int64)
+              for l in range(nlev)]
+
+    return SymbolicPlan(
+        N=sym.N, perm=sym.perm, iperm=sym.iperm, sn_starts=new_starts,
+        sn_rows=sn_rows, sn_level=level, sn_parent=sn_parent,
+        levels=levels, Ap=sym.Ap, Ai=sym.Ai,
+    )
+
+
+def _value_permutation(N, Ap, Ai, sym: SymbolicPlan):
+    """Map original upper-CSC value slots to the permuted pattern's
+    slots: kmap[t] = original nz index landing at permuted slot t."""
+    # original entries -> permuted (i, j) coordinates
+    coords = {}
+    for j in range(N):
+        for p in range(Ap[j], Ap[j + 1]):
+            i = int(Ai[p])
+            ni, nj = int(sym.iperm[i]), int(sym.iperm[j])
+            a, b = (ni, nj) if ni <= nj else (nj, ni)
+            coords[(a, b)] = p
+    kmap = np.zeros(sym.Ai.shape[0], dtype=np.int64)
+    Pp, Pi = sym.Ap, sym.Ai
+    for j in range(N):
+        for p in range(Pp[j], Pp[j + 1]):
+            kmap[p] = coords[(int(Pi[p]), j)]
+    return kmap

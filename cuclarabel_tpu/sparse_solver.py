@@ -1,0 +1,186 @@
+"""SparseSolver: large sparse conic programs with the device
+multifrontal KKT backend.
+
+Same semantics as Solver (src/solver.jl:75-380 parity) for the LP/QP
+cone class (Zero/Nonnegative — diagonal Hs), but the problem data stays
+sparse end-to-end: host-side sparse Ruiz equilibration, nz-value device
+arrays, segment-sum SpMV residuals inside the fused loop, and the
+level-scheduled multifrontal factorization of kkt/sparse_device.py.
+Use it when the dense path's O(N^2) memory is the binding constraint
+(N = n + m beyond a few thousand).
+
+No presolve/chordal step (row elimination would change the static
+sparsity pattern; PSD cones are not in the diagonal-Hs class)."""
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .cones import api, ops as cone_ops
+from .cones.api import cones_collapsed
+from .cones.layout import build_layout
+from .infinity import get_infinity
+from .ipm.loop import make_solve_fn
+from .kkt.sparse_tpu import SparseProblem
+from .settings import Settings
+from .solver import DefaultSolution
+from .statuscodes import SolverStatus
+
+
+def sparse_ruiz_equilibrate(P, A, q, b, layout, settings):
+    """Sparse mirror of equilibration.ruiz_equilibrate
+    (data_equilibrate!, problemdata.jl:133-221).  P upper-symmetric
+    scipy matrix or None, A scipy sparse.  Returns scaled copies +
+    (d, e, c)."""
+    import scipy.sparse as sp
+
+    n = A.shape[1]
+    m = A.shape[0]
+    A = sp.csc_matrix(A, copy=True).astype(np.float64)
+    P = (
+        sp.csc_matrix((n, n))
+        if P is None
+        else sp.csc_matrix(P, copy=True).astype(np.float64)
+    )
+    P = sp.triu(P) + sp.triu(P, 1).T
+    q = np.asarray(q, dtype=np.float64).copy()
+    b = np.asarray(b, dtype=np.float64).copy()
+
+    d = np.ones(n)
+    e = np.ones(m)
+    c = 1.0
+
+    if settings.equilibrate_enable:
+        smin = settings.equilibrate_min_scaling
+        smax = settings.equilibrate_max_scaling
+
+        def colmax(M):
+            M = sp.csc_matrix(abs(M))
+            out = np.zeros(M.shape[1])
+            if M.nnz:
+                nonempty = np.diff(M.indptr) > 0
+                starts = M.indptr[:-1][nonempty]
+                out[nonempty] = np.maximum.reduceat(M.data, starts)
+            return out
+
+        for _ in range(settings.equilibrate_max_iter):
+            cP = colmax(P)
+            cA = colmax(A)
+            rA = colmax(A.T)
+            dwork = np.maximum(cP, cA)
+            dwork = 1.0 / np.sqrt(np.where(dwork == 0.0, 1.0, dwork))
+            ework = 1.0 / np.sqrt(np.where(rA == 0.0, 1.0, rA))
+            dwork = np.clip(dwork, smin / d, smax / d)
+            ework = np.clip(ework, smin / e, smax / e)
+
+            Dw = sp.diags(dwork)
+            Ew = sp.diags(ework)
+            P = Dw @ P @ Dw
+            A = Ew @ A @ Dw
+            q *= dwork
+            b *= ework
+            d *= dwork
+            e *= ework
+
+            mean_col_P = colmax(P).mean() if P.nnz else 0.0
+            inf_q = np.abs(q).max() if n else 0.0
+            if mean_col_P != 0.0 and inf_q != 0.0:
+                ctmp = 1.0 / max(max(inf_q, mean_col_P), 1e-300)
+                ctmp = np.clip(ctmp, smin / c, smax / c)
+                P = P * ctmp
+                q *= ctmp
+                c *= ctmp
+    return P, A, q, b, d, e, c
+
+
+class SparseSolver:
+    """min (1/2)x'Px + q'x  s.t.  Ax + s = b, s in K (Zero/NN only),
+    with P, A scipy sparse."""
+
+    def __init__(self, P, q, A, b, cones: Sequence[api.SupportedCone],
+                 settings: Optional[Settings] = None, **kwargs):
+        import jax
+        import jax.numpy as jnp
+
+        settings = settings or Settings()
+        if kwargs:
+            settings = settings.replace(**kwargs)
+        settings.validate()
+        self.settings = settings
+
+        q = np.asarray(q, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        n, m = q.shape[0], b.shape[0]
+        if A.shape != (m, n):
+            raise ValueError("A shape inconsistent with q/b")
+
+        cones = cones_collapsed(list(cones))
+        self.layout = build_layout(tuple(cones))
+        if self.layout.m != m:
+            raise ValueError("cone dimensions inconsistent with b")
+        if not cone_ops.hs_is_diagonal(self.layout):
+            raise ValueError(
+                "SparseSolver currently supports Zero/Nonnegative cones "
+                "only (diagonal Hs); use Solver for SOC/PSD/exp/pow"
+            )
+
+        b = np.minimum(b, get_infinity())
+        normq = float(np.abs(q).max()) if n else 0.0
+        normb = float(np.abs(b).max()) if m else 0.0
+
+        Ps, As, qs, bs, d, e, c = sparse_ruiz_equilibrate(
+            P, A, q, b, self.layout, settings
+        )
+        self._has_P = bool(Ps.nnz)
+        self.n, self.m = n, m
+        self._sp = SparseProblem.from_scipy(
+            Ps if self._has_P else None, As
+        )
+        self._dev = {
+            "Pv": jnp.asarray(self._sp.P_vals(Ps if self._has_P else None)),
+            "Av": jnp.asarray(self._sp.A_vals(As)),
+            "q": jnp.asarray(qs),
+            "b": jnp.asarray(bs),
+            "d": jnp.asarray(d),
+            "dinv": jnp.asarray(1.0 / d),
+            "e": jnp.asarray(e),
+            "einv": jnp.asarray(1.0 / e),
+            "cscale": jnp.asarray(c),
+            "normq": jnp.asarray(normq),
+            "normb": jnp.asarray(normb),
+        }
+        self._solve_fn = make_solve_fn(
+            self.layout, settings, n, m, self._has_P, jnp.float64,
+            sparse=self._sp,
+        )
+        self.solution: Optional[DefaultSolution] = None
+        self.info: Optional[dict] = None
+
+    def solve(self) -> DefaultSolution:
+        import jax
+        import math
+
+        import jax.numpy as jnp
+
+        if math.isfinite(self.settings.time_limit):
+            self._dev["t_start"] = jnp.asarray(time.time())
+        t0 = time.perf_counter()
+        out = self._solve_fn(self._dev)
+        out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        solve_time = time.perf_counter() - t0
+
+        self.info = {k: out[k] for k in out}
+        self.solution = DefaultSolution(
+            x=np.asarray(out["x"]),
+            z=np.asarray(out["z"]),
+            s=np.asarray(out["s"]),
+            status=SolverStatus(int(out["status"])),
+            obj_val=float(out["obj_val"]),
+            obj_val_dual=float(out["obj_val_dual"]),
+            solve_time=solve_time,
+            iterations=int(out["iterations"]),
+            r_prim=float(out["r_prim"]),
+            r_dual=float(out["r_dual"]),
+        )
+        return self.solution
