@@ -183,6 +183,85 @@ def sdp_chordal_banded(nv, bw, seed):
     )
 
 
+def sparse_grid_qp(k, seed):
+    """Grid-Laplacian sparse QP through the device multifrontal path
+    (SparseSolver) — the Maros-Meszaros structural class at sizes the
+    dense path shouldn't touch."""
+    import scipy.sparse as sp
+
+    from cuclarabel_tpu.sparse_solver import SparseSolver
+
+    rng = np.random.default_rng(seed)
+    n = k * k
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (k, k))
+    P = (sp.kron(sp.eye(k), T) + sp.kron(T, sp.eye(k)) + sp.eye(n)).tocsc()
+    q = rng.standard_normal(n)
+    A = sp.vstack([sp.csr_matrix(np.ones((1, n))), -sp.eye(n)]).tocsc()
+    b = np.concatenate([[1.0], 1.0 + rng.random(n)])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(n)]
+
+    solver = SparseSolver(P, q, A, b, cones)
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    warm = time.perf_counter() - t0
+    ok = sol.status in (cc.SolverStatus.SOLVED, cc.SolverStatus.ALMOST_SOLVED)
+    return {
+        "name": f"sparse_grid_qp_n{n}",
+        "status": sol.status.name,
+        "ok": bool(ok),
+        "iters": sol.iterations,
+        "warm_ms": warm * 1e3,
+        "cold_s": cold,
+        "r_prim": sol.r_prim,
+        "r_dual": sol.r_dual,
+        "obj": sol.obj_val,
+        "obj_err": float("nan"),
+    }
+
+
+def banded_sparse_qp(n, bw, seed):
+    """Banded-P sparse QP with box rows (another MM structure class)."""
+    import scipy.sparse as sp
+
+    from cuclarabel_tpu.sparse_solver import SparseSolver
+
+    rng = np.random.default_rng(seed)
+    diags = [2.0 + rng.random(n)] + [
+        -rng.random(n - d) * 0.5 for d in range(1, bw + 1)
+    ]
+    P = sp.diags(
+        diags, [0] + [-d for d in range(1, bw + 1)], (n, n)
+    )
+    P = (P + P.T).tocsc()
+    q = rng.standard_normal(n)
+    A = sp.vstack([-sp.eye(n), sp.eye(n)]).tocsc()
+    b = np.concatenate([np.ones(n), np.ones(n)])  # -1 <= x <= 1
+    cones = [cc.NonnegativeConeT(2 * n)]
+    solver = SparseSolver(P, q, A, b, cones)
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    warm = time.perf_counter() - t0
+    ok = sol.status in (cc.SolverStatus.SOLVED, cc.SolverStatus.ALMOST_SOLVED)
+    return {
+        "name": f"banded_sparse_qp_n{n}",
+        "status": sol.status.name,
+        "ok": bool(ok),
+        "iters": sol.iterations,
+        "warm_ms": warm * 1e3,
+        "cold_s": cold,
+        "r_prim": sol.r_prim,
+        "r_dual": sol.r_dual,
+        "obj": sol.obj_val,
+        "obj_err": float("nan"),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -196,6 +275,8 @@ def main():
         portfolio_socp(128, 4),
         exp_logistic(4, 10, 5),
         sdp_chordal_banded(12, 2, 6),
+        sparse_grid_qp(16, 7),
+        banded_sparse_qp(300, 3, 8),
     ]
 
     hdr = f"{'problem':<22s} {'status':<14s} {'iters':>5s} {'warm ms':>9s} {'rprim':>9s} {'rdual':>9s}"

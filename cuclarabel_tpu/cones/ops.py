@@ -372,6 +372,152 @@ def assemble_Hs_diag(layout: ConeLayout, state: ScalingState):
     return diag
 
 
+SOC_NO_EXPANSION_MAX_SIZE = 4  # cone_types.jl:65-119
+
+
+def sparse_hs_plan(layout: ConeLayout):
+    """Host-side static plan for sparse-KKT Hs assembly
+    (kkt/sparse_tpu.py): coordinates of every Hs entry in the z block
+    plus the gather indices needed to compute its value each iteration.
+
+    Returns numpy dict:
+      blk_rows/blk_cols: (r,) z-block coordinates (row <= col) of the
+        dense-block entries — small SOC blocks and exp/pow 3x3 blocks —
+        ordered [small SOCs (cone, col-major upper)] ++ [exp] ++ [pow];
+      soc_small_*: gather plans for the SOC entries;
+      socx_*: per EXPANDED SOC (dim > 4): member rows, flat w range;
+    Value convention: values are the raw Hs entries; the assembly
+    negates them (K z-block is -Hs), mirroring the diagonal path."""
+    import numpy as np_
+
+    blk_rows, blk_cols = [], []
+    s_gi, s_gj, s_cone, s_sign = [], [], [], []
+    socx_rows, socx_wpos, socx_cone = [], [], []
+    if layout.has_soc:
+        pos = 0
+        for c in range(layout.nsoc):
+            d = int(layout.soc_dims[c])
+            rows = layout.soc_idx[pos: pos + d]
+            if d <= SOC_NO_EXPANSION_MAX_SIZE:
+                for j in range(d):
+                    for i in range(j + 1):
+                        blk_rows.append(int(rows[i]))
+                        blk_cols.append(int(rows[j]))
+                        s_gi.append(pos + i)
+                        s_gj.append(pos + j)
+                        s_cone.append(c)
+                        s_sign.append(
+                            0.0 if i != j else (1.0 if i == 0 else -1.0)
+                        )
+            else:
+                socx_rows.append(np_.asarray(rows, dtype=np_.int64))
+                socx_wpos.append((pos, pos + d))
+                socx_cone.append(c)
+            pos += d
+    n_small = len(blk_rows)
+
+    e_cone, e_a, e_b = [], [], []
+    if layout.has_exp:
+        for c in range(layout.nexp):
+            rows = layout.exp_idx[c]
+            for j in range(3):
+                for i in range(j + 1):
+                    blk_rows.append(int(rows[i]))
+                    blk_cols.append(int(rows[j]))
+                    e_cone.append(c)
+                    e_a.append(i)
+                    e_b.append(j)
+    n_exp = len(blk_rows) - n_small
+    p_cone, p_a, p_b = [], [], []
+    if layout.has_pow:
+        for c in range(layout.npow):
+            rows = layout.pow_idx[c]
+            for j in range(3):
+                for i in range(j + 1):
+                    blk_rows.append(int(rows[i]))
+                    blk_cols.append(int(rows[j]))
+                    p_cone.append(c)
+                    p_a.append(i)
+                    p_b.append(j)
+
+    ii = np_.asarray
+    return {
+        "blk_rows": ii(blk_rows, dtype=np_.int64),
+        "blk_cols": ii(blk_cols, dtype=np_.int64),
+        "soc_gi": ii(s_gi, dtype=np_.int64),
+        "soc_gj": ii(s_gj, dtype=np_.int64),
+        "soc_cone": ii(s_cone, dtype=np_.int64),
+        "soc_sign": ii(s_sign, dtype=np_.float64),
+        "exp_cone": ii(e_cone, dtype=np_.int64),
+        "exp_a": ii(e_a, dtype=np_.int64),
+        "exp_b": ii(e_b, dtype=np_.int64),
+        "pow_cone": ii(p_cone, dtype=np_.int64),
+        "pow_a": ii(p_a, dtype=np_.int64),
+        "pow_b": ii(p_b, dtype=np_.int64),
+        "socx_rows": socx_rows,
+        "socx_wpos": socx_wpos,
+        "socx_cone": ii(socx_cone, dtype=np_.int64),
+    }
+
+
+def sparse_hs_values(layout: ConeLayout, state: ScalingState, plan):
+    """Per-iteration Hs values matching sparse_hs_plan's ordering.
+
+    Returns (diag, blk_vals, socx) where:
+      diag (m,): elementwise Hs diagonal — NN w^2 plus, on EXPANDED SOC
+        rows, eta^2 * Dtilde (rank-2 form WtW = eta^2(Dt + uu' - vv'),
+        coneops_socone.jl:125-151);
+      blk_vals: raw Hs entries at (blk_rows, blk_cols);
+      socx: per expanded cone (u_scaled, v_scaled, ext_diag(2,)) with
+        the -eta^2 scaling of directldl_datamaps.jl:61-79 applied."""
+    diag = jnp.zeros(layout.m)
+    if layout.has_nn:
+        diag = jnp.where(layout.nn_mask, state["nn_w"] ** 2, diag)
+
+    vals = []
+    if plan["soc_gi"].size:
+        eta2 = state["soc_eta"] ** 2
+        w = state["soc_w"]
+        v = (
+            2.0 * eta2[plan["soc_cone"]] * w[plan["soc_gi"]]
+            * w[plan["soc_gj"]]
+            - eta2[plan["soc_cone"]] * plan["soc_sign"]
+        )
+        vals.append(v)
+    if plan["exp_cone"].size:
+        vals.append(
+            state["exp_Hs"][plan["exp_cone"], plan["exp_a"], plan["exp_b"]]
+        )
+    if plan["pow_cone"].size:
+        vals.append(
+            state["pow_Hs"][plan["pow_cone"], plan["pow_a"], plan["pow_b"]]
+        )
+    blk_vals = (
+        jnp.concatenate(vals) if vals else jnp.zeros(0)
+    )
+
+    socx = []
+    for rows, (lo, hi), c in zip(
+        plan["socx_rows"], plan["socx_wpos"], plan["socx_cone"]
+    ):
+        eta2 = state["soc_eta"][c] ** 2
+        wbar = state["soc_w"][lo:hi]
+        wsq = jnp.sum(wbar * wbar)
+        dsc = 0.5 / wsq
+        u0 = jnp.sqrt(wsq - dsc)
+        u1 = 2.0 * wbar[0] / u0
+        v1 = jnp.sqrt(2.0 * (2.0 + 1.0 / wsq) / (2.0 * wsq - 1.0 / wsq))
+        u = jnp.concatenate([u0[None], u1 * wbar[1:]])
+        vv = jnp.concatenate([jnp.zeros(1), v1 * wbar[1:]])
+        dt = jnp.concatenate([dsc[None], jnp.ones(rows.shape[0] - 1)])
+        diag = diag.at[rows].add(eta2 * dt)
+        socx.append((
+            -eta2 * u, -eta2 * vv,
+            jnp.stack([-eta2, eta2]),
+        ))
+    return diag, blk_vals, socx
+
+
 def assemble_Hs_dense(layout: ConeLayout, state: ScalingState):
     """Materialize the block-diagonal Hs as a dense (m, m) matrix for the
     dense KKT backend.  Hs = W'W for symmetric cones, mu*H / BFGS Hs for

@@ -85,19 +85,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         # problem data stays as nz values end-to-end
         from ..kkt.sparse_tpu import make_sparse_tpu_kkt
 
-        factorize, kkt_solve = make_sparse_tpu_kkt(
+        factorize, kkt_solve, sparse_bufs = make_sparse_tpu_kkt(
             n, m, settings, layout, sparse
         )
-        # static matvec triplets (host numpy -> baked constants)
-        _pf_off = sparse.P_rows != sparse.P_cols
-        _pf_rows = np.concatenate([sparse.P_rows, sparse.P_cols[_pf_off]])
-        _pf_cols = np.concatenate([sparse.P_cols, sparse.P_rows[_pf_off]])
-        _pf_src = np.concatenate([
-            np.arange(sparse.P_rows.shape[0], dtype=np.int64),
-            np.nonzero(_pf_off)[0],
-        ])
-        _a_rows = sparse.A_rows
-        _a_cols = sparse.A_cols
+        _pf_size = sparse_bufs["pf_rows"].shape[0]
+        _hs_plan = cone_ops.sparse_hs_plan(layout)
     elif settings.direct_solve_method == "qdldl":
         # native C++ sparse LDL^T, host-side via pure_callback (CPU path;
         # mirrors the reference's pluggable L1 backend registry,
@@ -137,25 +129,24 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             ATmv = lambda v: A.T @ v
         else:
             Pv, Av = dev["Pv"], dev["Av"]
-            pfr, pfc = jnp.asarray(_pf_rows), jnp.asarray(_pf_cols)
-            pfs = jnp.asarray(_pf_src)
-            ar, ac = jnp.asarray(_a_rows), jnp.asarray(_a_cols)
+            spb = dev["spbufs"]
 
             def Pmv(v):
-                if _pf_rows.size == 0:
+                if _pf_size == 0:
                     return jnp.zeros(n)
                 return jax.ops.segment_sum(
-                    Pv[pfs] * v[pfc], pfr, num_segments=n
+                    Pv[spb["pf_src"]] * v[spb["pf_cols"]],
+                    spb["pf_rows"], num_segments=n,
                 )
 
             def Amv(v):
                 return jax.ops.segment_sum(
-                    Av * v[ac], ar, num_segments=m
+                    Av * v[spb["a_cols"]], spb["a_rows"], num_segments=m
                 )
 
             def ATmv(v):
                 return jax.ops.segment_sum(
-                    Av * v[ar], ac, num_segments=n
+                    Av * v[spb["a_rows"]], spb["a_cols"], num_segments=n
                 )
 
         def quad(u, v):
@@ -407,7 +398,9 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                     )
                 else:
                     fac, _ = factorize(
-                        Pv, Av, cone_ops.assemble_Hs_diag(layout, scal0)
+                        Pv, Av,
+                        cone_ops.sparse_hs_values(layout, scal0, _hs_plan),
+                        dev["spbufs"],
                     )
                 if has_P:
                     # QP init (kktsystem.jl:120-128)
@@ -539,8 +532,8 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 Hs = cone_ops.assemble_Hs_dense(layout, scal)
                 fac, okf = factorize(P, A, Hs)
             else:
-                hsd = cone_ops.assemble_Hs_diag(layout, scal)
-                fac, okf = factorize(Pv, Av, hsd)
+                hs_parts = cone_ops.sparse_hs_values(layout, scal, _hs_plan)
+                fac, okf = factorize(Pv, Av, hs_parts, dev["spbufs"])
             x2, z2, okc, nir_c = kkt_solve(fac, -q, b)
             kkt_ok = okf & okc
 

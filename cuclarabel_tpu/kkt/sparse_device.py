@@ -61,6 +61,32 @@ class NumericPlan:
     ubuf_size: int
     N: int
 
+    def device_arrays(self):
+        """Index maps as a flat dict of numpy arrays.  These are passed
+        into the jitted numeric phase as RUNTIME INPUTS, not baked
+        constants: at N ~ 10^4 the maps total tens of MB and baking
+        them into the program text OOMs the compiler (observed
+        SIGKILLed remote compile at a 9 MB MLIR module)."""
+        bufs = {"perm": self.sym.perm, "iperm": self.sym.iperm}
+        for i, lp in enumerate(self.levels):
+            fmax, wmax = lp.fmax, lp.wmax
+            bufs[f"l{i}_ksrc"] = lp.k_src
+            bufs[f"l{i}_kdst"] = lp.k_dst
+            bufs[f"l{i}_usrc"] = lp.u_src
+            bufs[f"l{i}_udst"] = lp.u_dst
+            bufs[f"l{i}_wsrc"] = lp.w_src
+            bufs[f"l{i}_wdst"] = lp.w_dst
+            bufs[f"l{i}_gidx"] = lp.gidx
+            bufs[f"l{i}_cg"] = np.where(lp.col_gid < 0, self.N, lp.col_gid)
+            bufs[f"l{i}_dsign"] = np.pad(
+                lp.dsign, ((0, 0), (0, fmax - wmax)), constant_values=1.0
+            )
+            bufs[f"l{i}_pad"] = np.pad(
+                (lp.col_gid < 0).astype(np.float64),
+                ((0, 0), (0, fmax - wmax)),
+            )
+        return bufs
+
 
 def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
     """dsigns: (N,) quasidefinite signs in the ORIGINAL ordering."""
@@ -178,9 +204,10 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
 # numeric phase (jittable)
 # ---------------------------------------------------------------------
 
-def factor(plan: NumericPlan, Kv, *, reg_enable=True, eps=1e-13,
+def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
            delta=2e-7):
-    """Kv: (nnz,) values of the permuted upper pattern.  Returns
+    """Kv: (nnz,) values of the permuted upper pattern; bufs: the
+    device-resident index maps from plan.device_arrays().  Returns
     (fac, ok): fac holds per-level factored fronts + global Dinv."""
     N = plan.N
     ubuf = jnp.zeros(plan.ubuf_size, dtype=Kv.dtype)
@@ -188,30 +215,20 @@ def factor(plan: NumericPlan, Kv, *, reg_enable=True, eps=1e-13,
     fronts_out = []
     ok = jnp.asarray(True)
 
-    for lp in plan.levels:
+    for i, lp in enumerate(plan.levels):
         k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
         F = jnp.zeros(k * fmax * fmax, dtype=Kv.dtype)
-        F = F.at[jnp.asarray(lp.k_dst)].add(Kv[jnp.asarray(lp.k_src)])
+        F = F.at[bufs[f"l{i}_kdst"]].add(Kv[bufs[f"l{i}_ksrc"]])
         if lp.u_src.size:
-            F = F.at[jnp.asarray(lp.u_dst)].add(
-                ubuf[jnp.asarray(lp.u_src)]
-            )
+            F = F.at[bufs[f"l{i}_udst"]].add(ubuf[bufs[f"l{i}_usrc"]])
         F = F.reshape(k, fmax, fmax)
         # identity-pad the unused column slots
-        pad = lp.col_gid < 0
-        if pad.any():
-            padv = jnp.asarray(pad.astype(np.float64))
-            F = F + jax.vmap(jnp.diag)(
-                jnp.pad(padv, ((0, 0), (0, fmax - wmax)))
-            ).astype(Kv.dtype)
+        if (lp.col_gid < 0).any():
+            F = F + jax.vmap(jnp.diag)(bufs[f"l{i}_pad"]).astype(Kv.dtype)
 
         # masked fori_loop elimination: constant IR per level so deep
         # level schedules stay compile-friendly
-        dsign = jnp.asarray(
-            np.pad(lp.dsign, ((0, 0), (0, fmax - wmax)),
-                   constant_values=1.0),
-            dtype=Kv.dtype,
-        )
+        dsign = bufs[f"l{i}_dsign"].astype(Kv.dtype)
         iota = jnp.arange(fmax)
 
         def elim_body(j, carry):
@@ -232,13 +249,13 @@ def factor(plan: NumericPlan, Kv, *, reg_enable=True, eps=1e-13,
 
         F, ok = jax.lax.fori_loop(0, wmax, elim_body, (F, ok))
         # write D^{-1} for the real columns
-        cg = jnp.asarray(np.where(lp.col_gid < 0, N, lp.col_gid))
+        cg = bufs[f"l{i}_cg"]
         dvals = 1.0 / jax.vmap(jnp.diag)(F)[:, :wmax]
         Dinv = Dinv.at[cg.ravel()].set(dvals.ravel())
         # update write-back
         if lp.w_src.size:
-            ubuf = ubuf.at[jnp.asarray(lp.w_dst)].set(
-                F.reshape(-1)[jnp.asarray(lp.w_src)]
+            ubuf = ubuf.at[bufs[f"l{i}_wdst"]].set(
+                F.reshape(-1)[bufs[f"l{i}_wsrc"]]
             )
         fronts_out.append(F)
 
@@ -246,17 +263,15 @@ def factor(plan: NumericPlan, Kv, *, reg_enable=True, eps=1e-13,
     return {"fronts": fronts_out, "Dinv": Dinv}, ok
 
 
-def solve(plan: NumericPlan, fac, b):
+def solve(plan: NumericPlan, fac, b, bufs):
     """Solve K x = b with the factored fronts; b (N,) in ORIGINAL order."""
     N = plan.N
-    perm = jnp.asarray(plan.sym.perm)
-    iperm = jnp.asarray(plan.sym.iperm)
-    x = jnp.concatenate([b[perm], jnp.zeros(1, b.dtype)])  # slot N = dump
+    x = jnp.concatenate([b[bufs["perm"]], jnp.zeros(1, b.dtype)])
 
     # forward: (L + I) y = b, leaves -> roots
-    for lp, F in zip(plan.levels, fac["fronts"]):
+    for i, (lp, F) in enumerate(zip(plan.levels, fac["fronts"])):
         k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
-        g = jnp.asarray(lp.gidx)
+        g = bufs[f"l{i}_gidx"]
         iota = jnp.arange(fmax)
         xf = x[g]  # (k, fmax)
 
@@ -266,7 +281,7 @@ def solve(plan: NumericPlan, fac, b):
 
         xf = jax.lax.fori_loop(0, wmax, fwd_body, xf)
         # columns: overwrite; rows: accumulate the delta
-        cg = jnp.asarray(np.where(lp.col_gid < 0, N, lp.col_gid))
+        cg = bufs[f"l{i}_cg"]
         x = x.at[cg.ravel()].set(xf[:, :wmax].ravel())
         delta = xf[:, wmax:] - x[g[:, wmax:]]
         x = x.at[g[:, wmax:].ravel()].add(delta.ravel())
@@ -275,9 +290,13 @@ def solve(plan: NumericPlan, fac, b):
     x = x * fac["Dinv"]
 
     # backward: (L + I)' x = y, roots -> leaves
-    for lp, F in zip(reversed(plan.levels), reversed(fac["fronts"])):
+    nlev = len(plan.levels)
+    for ir, (lp, F) in enumerate(
+        zip(reversed(plan.levels), reversed(fac["fronts"]))
+    ):
+        i = nlev - 1 - ir
         k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
-        g = jnp.asarray(lp.gidx)
+        g = bufs[f"l{i}_gidx"]
         iota = jnp.arange(fmax)
         xf = x[g]
 
@@ -288,10 +307,10 @@ def solve(plan: NumericPlan, fac, b):
             return xf.at[:, j].add(-dot)
 
         xf = jax.lax.fori_loop(0, wmax, bwd_body, xf)
-        cg = jnp.asarray(np.where(lp.col_gid < 0, N, lp.col_gid))
+        cg = bufs[f"l{i}_cg"]
         x = x.at[cg.ravel()].set(xf[:, :wmax].ravel())
 
-    return x[:N][iperm]
+    return x[:N][bufs["iperm"]]
 
 
 # ---------------------------------------------------------------------
@@ -317,21 +336,28 @@ class SparseDeviceLDL:
         self._kmap = _value_permutation(self.N, Ap, Ai, sym)
         self.reg = (bool(reg_enable), float(eps), float(delta))
         self._fac = None
+        self._bufs = {
+            k_: jnp.asarray(v) for k_, v in
+            self.plan.device_arrays().items()
+        }
 
         rb, ee, dd = self.reg
         self._jfactor = jax.jit(
-            lambda Kv: factor(self.plan, Kv, reg_enable=rb, eps=ee,
-                              delta=dd)
+            lambda Kv, bufs: factor(self.plan, Kv, bufs, reg_enable=rb,
+                                    eps=ee, delta=dd)
         )
-        self._jsolve = jax.jit(lambda fac, b: solve(self.plan, fac, b))
+        self._jsolve = jax.jit(
+            lambda fac, b, bufs: solve(self.plan, fac, b, bufs)
+        )
 
     def refactor(self, Ax) -> bool:
         Kv = jnp.asarray(np.asarray(Ax, dtype=np.float64)[self._kmap])
-        self._fac, ok = self._jfactor(Kv)
+        self._fac, ok = self._jfactor(Kv, self._bufs)
         return bool(ok)
 
     def solve(self, b):
-        return np.asarray(self._jsolve(self._fac, jnp.asarray(b)))
+        return np.asarray(self._jsolve(self._fac, jnp.asarray(b),
+                                       self._bufs))
 
 
 def _split_wide_supernodes(sym: SymbolicPlan, max_width: int):

@@ -190,6 +190,107 @@ def analyze(N: int, Ap: np.ndarray, Ai: np.ndarray,
     )
 
 
+def nested_dissection(N: int, Ap: np.ndarray, Ai: np.ndarray,
+                      leaf: int = 48) -> np.ndarray:
+    """George-Liu style nested dissection on the symmetrized pattern:
+    recursive BFS-level bisection with the middle level as separator,
+    ordered [part1, part2, separator].  Short elimination-tree chains
+    are what the level-scheduled multifrontal wants (minimum-degree on
+    meshes produces O(N)-length chains -> huge level counts); small
+    components fall back to minimum degree.  Returns order new->old."""
+    # adjacency (both triangles, no diagonal)
+    adj: List[List[int]] = [[] for _ in range(N)]
+    for j in range(N):
+        for p in range(Ap[j], Ap[j + 1]):
+            i = int(Ai[p])
+            if i != j:
+                adj[i].append(j)
+                adj[j].append(i)
+
+    out: List[int] = []
+
+    def bfs_layers(nodes_set, start):
+        layers = [[start]]
+        seen = {start}
+        while True:
+            nxt = []
+            for v in layers[-1]:
+                for u in adj[v]:
+                    if u in nodes_set and u not in seen:
+                        seen.add(u)
+                        nxt.append(u)
+            if not nxt:
+                return layers, seen
+            layers.append(nxt)
+
+    def order(nodes: List[int]):
+        if len(nodes) <= leaf:
+            out.extend(_mindeg_sub(nodes))
+            return
+        nodes_set = set(nodes)
+        # pseudo-peripheral start: two BFS sweeps
+        start = nodes[0]
+        layers, seen = bfs_layers(nodes_set, start)
+        if len(seen) < len(nodes):
+            # disconnected: order this component, recurse on the rest
+            comp = [v for v in nodes if v in seen]
+            rest = [v for v in nodes if v not in seen]
+            order(comp)
+            order(rest)
+            return
+        start = layers[-1][0]
+        layers, _ = bfs_layers(nodes_set, start)
+        if len(layers) < 3:
+            out.extend(_mindeg_sub(nodes))
+            return
+        mid = len(layers) // 2
+        sep = layers[mid]
+        left = [v for l in layers[:mid] for v in l]
+        right = [v for l in layers[mid + 1:] for v in l]
+        order(left)
+        order(right)
+        out.extend(sep)
+
+    def _mindeg_sub(nodes: List[int]):
+        # local greedy min-degree within the subgraph
+        nodes_set = set(nodes)
+        deg = {v: sum(1 for u in adj[v] if u in nodes_set) for v in nodes}
+        loc_adj = {v: set(u for u in adj[v] if u in nodes_set)
+                   for v in nodes}
+        seq = []
+        alive = set(nodes)
+        while alive:
+            v = min(alive, key=lambda x: len(loc_adj[x] & alive))
+            seq.append(v)
+            alive.discard(v)
+            nb = loc_adj[v] & alive
+            for u in nb:
+                loc_adj[u] |= nb
+                loc_adj[u].discard(u)
+        return seq
+
+    # strip near-dense vertices to the top separator: a single dense
+    # row/column couples everything and collapses BFS layering (every
+    # vertex within 2 hops), defeating the dissection
+    degs = np.asarray([len(a) for a in adj])
+    thresh = max(16, 4 * int(np.sqrt(N)))
+    dense_v = [v for v in range(N) if degs[v] > thresh]
+    keep = [v for v in range(N) if degs[v] <= thresh]
+    dense_set = set(dense_v)
+    if dense_v:
+        adj = [[u for u in a if u not in dense_set] for a in adj]
+
+    import sys
+    rec = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(rec, 10000))
+    try:
+        order(keep)
+    finally:
+        sys.setrecursionlimit(rec)
+    out.extend(dense_v)
+    return np.asarray(out, dtype=np.int64)
+
+
 def _mindeg(N, Ap, Ai):
     """Minimum-degree ordering via the native kernel; natural order
     fallback."""

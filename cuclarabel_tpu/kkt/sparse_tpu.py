@@ -11,9 +11,11 @@ iterative refinement against the unregularized operator
 running ON DEVICE as the level-scheduled batched multifrontal of
 kkt/sparse_device.py.
 
-v1 restriction: Hs must be diagonal (Zero/Nonnegative cones), i.e. the
-LP/QP class.  SOC rank-2 / GenPow rank-3 expansion columns
-(`directldl_datamaps.jl:8-167`) are the planned extension.
+Cone coverage: Zero/Nonnegative (diagonal Hs), SOC — dense blocks up
+to dim 4, the rank-2 sparse expansion above (SOC_NO_EXPANSION_MAX_SIZE,
+`cone_types.jl:65-119`; u/v columns + (-1,+1) extension diagonal per
+`directldl_datamaps.jl:8-79`) — and exp/pow 3x3 blocks.  PSD and
+GenPow (rank-3 expansion) remain dense-path-only for now.
 """
 
 import dataclasses
@@ -31,7 +33,7 @@ from .sparse_device import (
     factor as mf_factor,
     solve as mf_solve,
 )
-from .sparse_symbolic import analyze
+from .sparse_symbolic import analyze, nested_dissection
 
 
 def _inf_norm(v):
@@ -51,6 +53,12 @@ class SparseProblem:
     P_cols: np.ndarray
     A_rows: np.ndarray
     A_cols: np.ndarray
+    # memo for make_sparse_tpu_kkt (symbolic analysis is the expensive
+    # host step; the solver needs the result twice: once inside the
+    # traced solve fn, once to stage the device buffers)
+    _kkt_memo: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @classmethod
     def from_scipy(cls, P, A):
@@ -84,12 +92,23 @@ class SparseProblem:
 
 def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
                         sp_prob: SparseProblem, max_width: int = 32):
-    """(factorize, solve) over sparse values:
+    """(factorize, solve, host_bufs) over sparse values:
 
-    factorize(Pv, Av, hs_diag) -> (fac, ok)
+    factorize(Pv, Av, hs_diag, bufs) -> (fac, ok)
     solve(fac, rx, rz) -> (x, z, ok, nir)
-    """
+
+    host_bufs: dict of numpy index arrays that the caller must place on
+    device and pass through the jit boundary (baking them as constants
+    OOMs the compiler at large N)."""
+    memo_key = (settings, max_width)
+    if memo_key in sp_prob._kkt_memo:
+        return sp_prob._kkt_memo[memo_key]
+    from ..cones import ops as cone_ops
+
+    hs_plan = cone_ops.sparse_hs_plan(layout)
+    nx = len(hs_plan["socx_rows"])  # expanded SOC count
     N = n + m
+    Next = N + 2 * nx
     eps_const = settings.static_regularization_constant
     eps_prop = settings.static_regularization_proportional
     reg_enable = settings.static_regularization_enable
@@ -120,7 +139,24 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         [slot(c, n + r) for r, c in zip(sp_prob.A_rows, sp_prob.A_cols)],
         dtype=np.int64,
     )
-    diag_map = np.asarray([slot(i, i) for i in range(N)], dtype=np.int64)
+    # Hs dense-block entries (small SOC + exp/pow 3x3)
+    blk_map = np.asarray(
+        [slot(n + i, n + j)
+         for i, j in zip(hs_plan["blk_rows"], hs_plan["blk_cols"])],
+        dtype=np.int64,
+    )
+    # SOC rank-2 expansion columns: v first, then u (datamaps order)
+    xv_map, xu_map = [], []
+    for t, rows in enumerate(hs_plan["socx_rows"]):
+        vcol = N + 2 * t
+        ucol = N + 2 * t + 1
+        xv_map.extend(slot(n + int(r), vcol) for r in rows)
+        xu_map.extend(slot(n + int(r), ucol) for r in rows)
+    xv_map = np.asarray(xv_map, dtype=np.int64)
+    xu_map = np.asarray(xu_map, dtype=np.int64)
+    diag_map = np.asarray(
+        [slot(i, i) for i in range(Next)], dtype=np.int64
+    )
     nnzK = len(coords)
 
     # CSC-ordered pattern + permutation of the temp slots
@@ -131,20 +167,29 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     p_map = reorder[p_map] if p_map.size else p_map
     a_map = reorder[a_map]
     diag_map = reorder[diag_map]
+    blk_map = reorder[blk_map] if blk_map.size else blk_map
+    xv_map = reorder[xv_map] if xv_map.size else xv_map
+    xu_map = reorder[xu_map] if xu_map.size else xu_map
     rows_u = np.asarray([ij[0] for ij, _ in items], dtype=np.int64)
     cols_u = np.asarray([ij[1] for ij, _ in items], dtype=np.int64)
-    Ap = np.zeros(N + 1, dtype=np.int64)
+    Ap = np.zeros(Next + 1, dtype=np.int64)
     np.add.at(Ap, cols_u + 1, 1)
     Ap = np.cumsum(Ap)
     Ai = rows_u
 
-    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    dsigns = np.concatenate([
+        np.ones(n), -np.ones(m),
+        np.tile([-1.0, 1.0], nx),  # (v, u) extension signs
+    ])
 
-    # symbolic plan (AMD + supernodes + levels) with panel cap
-    sym = analyze(N, Ap, Ai)
+    # symbolic plan with panel cap; nested-dissection ordering keeps
+    # the elimination-tree chains (= level count = compile time and
+    # sequential depth) short, at modestly higher fill than min-degree
+    nd = nested_dissection(Next, Ap, Ai)
+    sym = analyze(Next, Ap, Ai, order=nd)
     sym = _split_wide_supernodes(sym, max_width)
     plan = build_numeric_plan(sym, dsigns)
-    kmap = _value_permutation(N, Ap, Ai, sym)
+    kmap = _value_permutation(Next, Ap, Ai, sym)
 
     # full-pattern triplets for the refinement matvec (both triangles)
     off = rows_u != cols_u
@@ -154,52 +199,86 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         [np.arange(nnzK, dtype=np.int64), np.nonzero(off)[0]]
     )
 
-    j_pmap = jnp.asarray(p_map)
-    j_amap = jnp.asarray(a_map)
-    j_dmap = jnp.asarray(diag_map)
-    j_kmap = jnp.asarray(kmap)
-    j_frows = jnp.asarray(full_rows)
-    j_fcols = jnp.asarray(full_cols)
-    j_fsrc = jnp.asarray(full_src)
-    j_dsigns = jnp.asarray(dsigns)
+    host_bufs = plan.device_arrays()
+    host_bufs.update({
+        "blk_map": blk_map, "xv_map": xv_map, "xu_map": xu_map,
+        "p_map": p_map, "a_map": a_map, "diag_map": diag_map,
+        "kmap": kmap, "f_rows": full_rows, "f_cols": full_cols,
+        "f_src": full_src, "dsigns": dsigns,
+        # SpMV triplets for the loop's residual matvecs
+        "pf_rows": np.concatenate(
+            [sp_prob.P_rows,
+             sp_prob.P_cols[sp_prob.P_rows != sp_prob.P_cols]]),
+        "pf_cols": np.concatenate(
+            [sp_prob.P_cols,
+             sp_prob.P_rows[sp_prob.P_rows != sp_prob.P_cols]]),
+        "pf_src": np.concatenate(
+            [np.arange(sp_prob.P_rows.shape[0], dtype=np.int64),
+             np.nonzero(sp_prob.P_rows != sp_prob.P_cols)[0]]),
+        "a_rows": sp_prob.A_rows,
+        "a_cols": sp_prob.A_cols,
+    })
 
-    def _kmv(Kv, x):
+    def _kmv(fac, x):
+        bufs = fac["bufs"]
         return jax.ops.segment_sum(
-            Kv[j_fsrc] * x[j_fcols], j_frows, num_segments=N
+            fac["Kv"][bufs["f_src"]] * x[bufs["f_cols"]],
+            bufs["f_rows"], num_segments=Next,
         )
 
-    def factorize(Pv, Av, hs_diag):
+    def factorize(Pv, Av, hs_parts, bufs):
+        hs_diag, blk_vals, socx = hs_parts
         Kv = jnp.zeros(nnzK, dtype=jnp.float64)
         if p_map.size:
-            Kv = Kv.at[j_pmap].add(Pv)
-        Kv = Kv.at[j_amap].add(Av)
-        Kv = Kv.at[j_dmap].add(
-            jnp.concatenate([jnp.zeros(n), -hs_diag])
+            Kv = Kv.at[bufs["p_map"]].add(Pv)
+        Kv = Kv.at[bufs["a_map"]].add(Av)
+        ext_diag = (
+            jnp.concatenate([t[2] for t in socx])
+            if socx else jnp.zeros(0)
         )
+        Kv = Kv.at[bufs["diag_map"]].add(
+            jnp.concatenate([jnp.zeros(n), -hs_diag, ext_diag])
+        )
+        if blk_map.size:
+            Kv = Kv.at[bufs["blk_map"]].add(-blk_vals)
+        if socx:
+            Kv = Kv.at[bufs["xu_map"]].add(
+                jnp.concatenate([t[0] for t in socx])
+            )
+            Kv = Kv.at[bufs["xv_map"]].add(
+                jnp.concatenate([t[1] for t in socx])
+            )
         if reg_enable:
-            eps = eps_const + eps_prop * _inf_norm(Kv[j_dmap])
-            Kv_f = Kv.at[j_dmap].add(j_dsigns * eps)
+            eps = eps_const + eps_prop * _inf_norm(Kv[bufs["diag_map"]])
+            Kv_f = Kv.at[bufs["diag_map"]].add(bufs["dsigns"] * eps)
         else:
             Kv_f = Kv
         fac_mf, ok = mf_factor(
-            plan, Kv_f[j_kmap], reg_enable=dyn_enable, eps=dyn_eps,
-            delta=dyn_delta,
+            plan, Kv_f[bufs["kmap"]], bufs, reg_enable=dyn_enable,
+            eps=dyn_eps, delta=dyn_delta,
         )
-        return {"mf": fac_mf, "Kv": Kv}, ok
+        return {"mf": fac_mf, "Kv": Kv, "bufs": bufs}, ok
 
+    # nested jit: the level-walking solve chain is emitted ONCE and
+    # shared by every call site (init, affine/combined steps, constant
+    # rhs, refinement) — without it each site re-traces ~#levels * ops
+    # and compile time explodes (measured 292 s at N=3201).  All sites
+    # use identical shapes, so the one cached lowering serves them all.
+    @jax.jit
     def _raw(fac, bvec):
-        return mf_solve(plan, fac["mf"], bvec)
+        return mf_solve(plan, fac["mf"], bvec, fac["bufs"])
 
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, ...]:
-        b = jnp.concatenate([rx, rz])
+        # extension rows carry zero RHS (kktsolver_directldl.jl:313-343)
+        b = jnp.concatenate([rx, rz, jnp.zeros(2 * nx)])
         x = _raw(fac, b)
         if not ir_enable:
-            return x[:n], x[n:], jnp.all(jnp.isfinite(x)), jnp.asarray(0)
+            return (x[:n], x[n: n + m], jnp.all(jnp.isfinite(x)),
+                    jnp.asarray(0))
 
-        Kv = fac["Kv"]
         normb = _inf_norm(b)
         tol = ir_abstol + ir_reltol * normb
-        e0 = b - _kmv(Kv, x)
+        e0 = b - _kmv(fac, x)
         norme0 = _inf_norm(e0)
         ok0 = jnp.isfinite(norme0)
 
@@ -211,7 +290,7 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
             xc, e, norme, i, _, _ = c
             dx = _raw(fac, e)
             xn = xc + dx
-            en = b - _kmv(Kv, xn)
+            en = b - _kmv(fac, xn)
             normen = _inf_norm(en)
             okn = jnp.isfinite(normen)
             ratio = norme / jnp.where(normen > 0, normen, 1e-300)
@@ -227,6 +306,7 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         x, _, norme, nir, _, okr = jax.lax.while_loop(
             cond, body, (x, e0, norme0, 0, False, ok0)
         )
-        return x[:n], x[n:], okr & jnp.isfinite(norme), nir
+        return x[:n], x[n: n + m], okr & jnp.isfinite(norme), nir
 
-    return factorize, solve
+    sp_prob._kkt_memo[memo_key] = (factorize, solve, host_bufs)
+    return factorize, solve, host_bufs

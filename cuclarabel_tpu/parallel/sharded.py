@@ -34,6 +34,80 @@ from ..solver import DefaultSolution, _resolve_factor_dtype, _to_dense
 from ..statuscodes import SolverStatus
 
 
+def _pack_rows_for_mesh(cones, ndev):
+    """Row-permutation plan making every non-elementwise cone block
+    shard-local on an ndev-way row mesh.
+
+    Returns (src_rows, new_cones): src_rows[t] = original row feeding
+    new position t, or -1 for an inert padding row (NN, b = 1);
+    new_cones is the cone list in the new row order."""
+    # expand cones into items: elementwise rows are freely movable
+    blocks = []   # (size, orig_start, spec)
+    free = []     # (orig_row, 'nn' | 'zero')
+    ofs = 0
+    for c in cones:
+        d = api.nvars(c)
+        if isinstance(c, api.NonnegativeConeT):
+            free.extend((ofs + i, "nn") for i in range(d))
+        elif isinstance(c, api.ZeroConeT):
+            free.extend((ofs + i, "zero") for i in range(d))
+        else:
+            blocks.append((d, ofs, c))
+        ofs += d
+    m = ofs
+    maxb = max((d for d, _, _ in blocks), default=1)
+    m_loc = max(-(-m // ndev), maxb)
+
+    while True:
+        bins = [[] for _ in range(ndev)]   # entries: ('blk',i) | orig row | -1
+        fill = [0] * ndev
+        bi = 0
+        ok = True
+        for i, (d, _, _) in enumerate(blocks):
+            while bi < ndev and fill[bi] + d > m_loc:
+                bi += 1
+            if bi >= ndev:
+                ok = False
+                break
+            bins[bi].append(("blk", i))
+            fill[bi] += d
+        if ok:
+            it = iter(free)
+            for t in range(ndev):
+                while fill[t] < m_loc:
+                    row = next(it, None)
+                    if row is None:
+                        bins[t].append(("pad", None))
+                    else:
+                        bins[t].append(("free", row))
+                    fill[t] += 1
+            if list(it):  # free rows left over: capacity too small
+                ok = False
+        if ok:
+            break
+        m_loc += 1
+
+    src_rows = []
+    new_cones = []
+    for t in range(ndev):
+        for kind, val in bins[t]:
+            if kind == "blk":
+                d, start, spec = blocks[val]
+                src_rows.extend(range(start, start + d))
+                new_cones.append(spec)
+            elif kind == "free":
+                orig, fam = val
+                src_rows.append(orig)
+                new_cones.append(
+                    api.NonnegativeConeT(1) if fam == "nn"
+                    else api.ZeroConeT(1)
+                )
+            else:  # padding
+                src_rows.append(-1)
+                new_cones.append(api.NonnegativeConeT(1))
+    return np.asarray(src_rows, dtype=np.int64), new_cones
+
+
 class ShardedSolver:
     """Solve ONE conic program with its KKT operator sharded over
     `n_devices` chips ('row' axis = the constraint dimension m).
@@ -70,16 +144,25 @@ class ShardedSolver:
         self._has_P = bool(np.any(Pd != 0.0))
 
         cones = list(cones)
-        # pad m to a multiple of the mesh with inert nonnegative rows
-        # (0*x + s = 1 -> s = 1, z = 0): sharded axes must divide evenly
-        self._mpad = (-m) % n_devices
-        if self._mpad:
-            Ad = np.vstack([Ad, np.zeros((self._mpad, n))])
-            b = np.concatenate([b, np.ones(self._mpad)])
-            cones.append(api.NonnegativeConeT(self._mpad))
-            m = b.shape[0]
-
-        cones = cones_collapsed(cones)
+        # Repack constraint rows so every non-elementwise cone block is
+        # shard-local (the arrow backend's alignment requirement) and m
+        # divides the mesh: a pure row permutation plus inert padding
+        # rows (0*x + s = 1 -> s = 1, z = 0).  Row order of (A, b) is
+        # semantically free as long as cones follow along.
+        src_rows, cones = _pack_rows_for_mesh(cones, n_devices)
+        self._src_rows = src_rows  # new row -> orig row (-1 = padding)
+        m_new = src_rows.shape[0]
+        A_new = np.zeros((m_new, n))
+        b_new = np.ones(m_new)
+        real = src_rows >= 0
+        A_new[real] = Ad[src_rows[real]]
+        b_new[real] = b[src_rows[real]]
+        Ad, b = A_new, b_new
+        # inverse map for returning s/z in the caller's row order
+        self._dst_of_orig = np.zeros(m, dtype=np.int64)
+        self._dst_of_orig[src_rows[real]] = np.nonzero(real)[0]
+        self._m_orig = m
+        m = m_new
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
@@ -107,11 +190,22 @@ class ShardedSolver:
             if _resolve_factor_dtype(settings, self.layout) == "float32"
             else jnp.float64
         )
-        # explicit block-arrow Schur partitioning (kkt/arrow.py) when the
-        # cone blocks align with the shard boundaries; otherwise fall
-        # back to GSPMD inference over the dense backend
+        # Explicit block-arrow Schur partitioning (kkt/arrow.py) for
+        # diagonal-Hs (Zero/NN) layouts, where the normal-equations
+        # reduction is robust under refinement.  Cone classes with
+        # near-degenerate Hs directions (SOC/PSD/exp/pow) put ~1/mu^2
+        # low-rank spikes into the Schur complement that defeat the
+        # pivot-free f64 preconditioner near convergence — those fall
+        # back to GSPMD inference over the dense backend until the
+        # rank-2/rank-3 expansions are routed into the arrow saddle.
+        from ..cones import ops as cone_ops
+
         self.tp_mode = "arrow"
         try:
+            if not cone_ops.hs_is_diagonal(self.layout):
+                raise ValueError(
+                    "arrow TP is limited to Zero/Nonnegative layouts"
+                )
             base = make_solve_fn(
                 self.layout, settings, n, m, self._has_P, factor_dtype,
                 raw=True, mesh=mesh, mesh_axis="row",
@@ -144,11 +238,11 @@ class ShardedSolver:
 
     def solve(self) -> DefaultSolution:
         out = jax.device_get(self._fn(self._dev))
-        mkeep = self.m - self._mpad
+        sel = self._dst_of_orig
         self.solution = DefaultSolution(
             x=np.asarray(out["x"]),
-            z=np.asarray(out["z"])[:mkeep],
-            s=np.asarray(out["s"])[:mkeep],
+            z=np.asarray(out["z"])[sel],
+            s=np.asarray(out["s"])[sel],
             status=SolverStatus(int(out["status"])),
             obj_val=float(out["obj_val"]),
             obj_val_dual=float(out["obj_val_dual"]),

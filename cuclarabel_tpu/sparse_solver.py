@@ -9,8 +9,10 @@ level-scheduled multifrontal factorization of kkt/sparse_device.py.
 Use it when the dense path's O(N^2) memory is the binding constraint
 (N = n + m beyond a few thousand).
 
-No presolve/chordal step (row elimination would change the static
-sparsity pattern; PSD cones are not in the diagonal-Hs class)."""
+Cones: Zero/NN (diagonal Hs), SOC (dense blocks to dim 4, rank-2
+sparse expansion above), exp/pow (3x3 blocks).  No presolve/chordal
+step (row elimination would change the static sparsity pattern; PSD
+stays on the dense path)."""
 
 import time
 from typing import Optional, Sequence
@@ -91,6 +93,18 @@ def sparse_ruiz_equilibrate(P, A, q, b, layout, settings):
                 P = P * ctmp
                 q *= ctmp
                 c *= ctmp
+
+        # cone rectification: non-elementwise cones get their rows'
+        # scalings replaced by the block mean (rectify_equilibration!,
+        # coneops_defaults.jl:32-44)
+        rect = layout.rectification_ranges()
+        if rect:
+            delta = np.ones(m)
+            for lo, hi in rect:
+                delta[lo:hi] = e[lo:hi].mean() / e[lo:hi]
+            A = sp.diags(delta) @ A
+            b *= delta
+            e *= delta
     return P, A, q, b, d, e, c
 
 
@@ -119,10 +133,10 @@ class SparseSolver:
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
-        if not cone_ops.hs_is_diagonal(self.layout):
+        if self.layout.has_psd or self.layout.has_genpow:
             raise ValueError(
-                "SparseSolver currently supports Zero/Nonnegative cones "
-                "only (diagonal Hs); use Solver for SOC/PSD/exp/pow"
+                "SparseSolver supports Zero/Nonnegative/SOC/exp/pow "
+                "cones; use Solver for PSD and GenPow"
             )
 
         b = np.minimum(b, get_infinity())
@@ -154,6 +168,13 @@ class SparseSolver:
             self.layout, settings, n, m, self._has_P, jnp.float64,
             sparse=self._sp,
         )
+        # index maps as runtime inputs (not baked constants)
+        from .kkt.sparse_tpu import make_sparse_tpu_kkt as _mk
+
+        _, _, host_bufs = _mk(n, m, settings, self.layout, self._sp)
+        self._dev["spbufs"] = {
+            k2: jnp.asarray(v2) for k2, v2 in host_bufs.items()
+        }
         self.solution: Optional[DefaultSolution] = None
         self.info: Optional[dict] = None
 

@@ -16,7 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Disable the persistent compilation cache for CPU test runs: the
+# environment migrates between hosts with different CPU feature sets,
+# and loading an XLA:CPU AOT executable compiled on another host
+# segfaults (the cpu_aot_loader warns about exactly this).  The cache
+# only pays off for the remote TPU backend anyway.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", None)

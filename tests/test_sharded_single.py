@@ -40,7 +40,9 @@ def test_sharded_matches_single_device():
     sol = ShardedSolver(P, q, A, b, cones, n_devices=8).solve()
     assert sol.status == cc.SolverStatus.SOLVED
     assert abs(sol.obj_val - ref.obj_val) < 1e-8
-    assert np.linalg.norm(sol.x - ref.x) < 1e-7
+    # row repacking (shard alignment) changes the equilibration and
+    # iterate path; x agreement is bounded by cond * tol, not tol
+    assert np.linalg.norm(sol.x - ref.x) < 1e-5
 
 
 def test_sharded_compiles_with_collectives():

