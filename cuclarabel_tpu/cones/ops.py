@@ -440,6 +440,17 @@ def sparse_hs_plan(layout: ConeLayout):
                     p_a.append(i)
                     p_b.append(j)
 
+    gpx_rows1, gpx_rows2, gpx_cone = [], [], []
+    if layout.has_genpow:
+        for c in range(layout.ngp):
+            d1 = int(layout.gp_dim1[c])
+            rows1 = layout.gp_idx1[c, :d1].astype(np_.int64)
+            mask2 = layout.gp_mask2[c]
+            rows2 = layout.gp_idx2[c][mask2].astype(np_.int64)
+            gpx_rows1.append(rows1)
+            gpx_rows2.append(rows2)
+            gpx_cone.append(c)
+
     ii = np_.asarray
     return {
         "blk_rows": ii(blk_rows, dtype=np_.int64),
@@ -457,6 +468,9 @@ def sparse_hs_plan(layout: ConeLayout):
         "socx_rows": socx_rows,
         "socx_wpos": socx_wpos,
         "socx_cone": ii(socx_cone, dtype=np_.int64),
+        "gpx_rows1": gpx_rows1,
+        "gpx_rows2": gpx_rows2,
+        "gpx_cone": ii(gpx_cone, dtype=np_.int64),
     }
 
 
@@ -469,7 +483,9 @@ def sparse_hs_values(layout: ConeLayout, state: ScalingState, plan):
         coneops_socone.jl:125-151);
       blk_vals: raw Hs entries at (blk_rows, blk_cols);
       socx: per expanded cone (u_scaled, v_scaled, ext_diag(2,)) with
-        the -eta^2 scaling of directldl_datamaps.jl:61-79 applied."""
+        the -eta^2 scaling of directldl_datamaps.jl:61-79 applied;
+      gpx: per GenPow cone (q, r, p, ext_diag(3,)) scaled by -sqrt(mu)
+        with ext diag (-1,-1,+1) (directldl_datamaps.jl:81-167)."""
     diag = jnp.zeros(layout.m)
     if layout.has_nn:
         diag = jnp.where(layout.nn_mask, state["nn_w"] ** 2, diag)
@@ -496,6 +512,32 @@ def sparse_hs_values(layout: ConeLayout, state: ScalingState, plan):
         jnp.concatenate(vals) if vals else jnp.zeros(0)
     )
 
+    if layout.has_genpow:
+        mu = state["gp_mu"]
+        d1v = mu * state["gp_d1"]
+        d2v = mu * state["gp_d2"]
+        for t, c in enumerate(plan["gpx_cone"]):
+            r1 = plan["gpx_rows1"][t]
+            r2 = plan["gpx_rows2"][t]
+            diag = diag.at[r1].add(d1v[c, : r1.shape[0]])
+            diag = diag.at[r2].add(
+                jnp.full(r2.shape[0], d2v[c])
+            )
+
+    gpx = []
+    if layout.has_genpow:
+        smu = jnp.sqrt(state["gp_mu"])
+        for t, c in enumerate(plan["gpx_cone"]):
+            nd1 = plan["gpx_rows1"][t].shape[0]
+            nd2 = plan["gpx_rows2"][t].shape[0]
+            qv = -smu * state["gp_q"][c, :nd1]
+            rv = -smu * state["gp_r"][c, :nd2]
+            pv = -smu * jnp.concatenate(
+                [state["gp_p1"][c, :nd1], state["gp_p2"][c, :nd2]]
+            )
+            gpx.append((qv, rv, pv,
+                        jnp.asarray([-1.0, -1.0, 1.0])))
+
     socx = []
     for rows, (lo, hi), c in zip(
         plan["socx_rows"], plan["socx_wpos"], plan["socx_cone"]
@@ -515,7 +557,7 @@ def sparse_hs_values(layout: ConeLayout, state: ScalingState, plan):
             -eta2 * u, -eta2 * vv,
             jnp.stack([-eta2, eta2]),
         ))
-    return diag, blk_vals, socx
+    return diag, blk_vals, socx, gpx
 
 
 def assemble_Hs_dense(layout: ConeLayout, state: ScalingState):

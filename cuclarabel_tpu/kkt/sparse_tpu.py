@@ -106,9 +106,10 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     from ..cones import ops as cone_ops
 
     hs_plan = cone_ops.sparse_hs_plan(layout)
-    nx = len(hs_plan["socx_rows"])  # expanded SOC count
+    nx = len(hs_plan["socx_rows"])       # expanded SOC count
+    ngx = len(hs_plan["gpx_cone"])       # GenPow count (always expanded)
     N = n + m
-    Next = N + 2 * nx
+    Next = N + 2 * nx + 3 * ngx
     eps_const = settings.static_regularization_constant
     eps_prop = settings.static_regularization_proportional
     reg_enable = settings.static_regularization_enable
@@ -154,6 +155,21 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         xu_map.extend(slot(n + int(r), ucol) for r in rows)
     xv_map = np.asarray(xv_map, dtype=np.int64)
     xu_map = np.asarray(xu_map, dtype=np.int64)
+    # GenPow rank-3 expansion: q (dim1 rows), r (dim2 rows), p (all)
+    gq_map, gr_map, gp_map_ = [], [], []
+    for t in range(ngx):
+        qcol = N + 2 * nx + 3 * t
+        rcol = qcol + 1
+        pcol = qcol + 2
+        r1 = hs_plan["gpx_rows1"][t]
+        r2 = hs_plan["gpx_rows2"][t]
+        gq_map.extend(slot(n + int(rr), qcol) for rr in r1)
+        gr_map.extend(slot(n + int(rr), rcol) for rr in r2)
+        gp_map_.extend(slot(n + int(rr), pcol) for rr in r1)
+        gp_map_.extend(slot(n + int(rr), pcol) for rr in r2)
+    gq_map = np.asarray(gq_map, dtype=np.int64)
+    gr_map = np.asarray(gr_map, dtype=np.int64)
+    gp_map_ = np.asarray(gp_map_, dtype=np.int64)
     diag_map = np.asarray(
         [slot(i, i) for i in range(Next)], dtype=np.int64
     )
@@ -170,6 +186,9 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     blk_map = reorder[blk_map] if blk_map.size else blk_map
     xv_map = reorder[xv_map] if xv_map.size else xv_map
     xu_map = reorder[xu_map] if xu_map.size else xu_map
+    gq_map = reorder[gq_map] if gq_map.size else gq_map
+    gr_map = reorder[gr_map] if gr_map.size else gr_map
+    gp_map_ = reorder[gp_map_] if gp_map_.size else gp_map_
     rows_u = np.asarray([ij[0] for ij, _ in items], dtype=np.int64)
     cols_u = np.asarray([ij[1] for ij, _ in items], dtype=np.int64)
     Ap = np.zeros(Next + 1, dtype=np.int64)
@@ -179,7 +198,8 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
 
     dsigns = np.concatenate([
         np.ones(n), -np.ones(m),
-        np.tile([-1.0, 1.0], nx),  # (v, u) extension signs
+        np.tile([-1.0, 1.0], nx),        # SOC (v, u) extension signs
+        np.tile([-1.0, -1.0, 1.0], ngx),  # GenPow (q, r, p) signs
     ])
 
     # symbolic plan with panel cap; nested-dissection ordering keeps
@@ -202,6 +222,7 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     host_bufs = plan.device_arrays()
     host_bufs.update({
         "blk_map": blk_map, "xv_map": xv_map, "xu_map": xu_map,
+        "gq_map": gq_map, "gr_map": gr_map, "gp_map": gp_map_,
         "p_map": p_map, "a_map": a_map, "diag_map": diag_map,
         "kmap": kmap, "f_rows": full_rows, "f_cols": full_cols,
         "f_src": full_src, "dsigns": dsigns,
@@ -227,14 +248,14 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         )
 
     def factorize(Pv, Av, hs_parts, bufs):
-        hs_diag, blk_vals, socx = hs_parts
+        hs_diag, blk_vals, socx, gpx = hs_parts
         Kv = jnp.zeros(nnzK, dtype=jnp.float64)
         if p_map.size:
             Kv = Kv.at[bufs["p_map"]].add(Pv)
         Kv = Kv.at[bufs["a_map"]].add(Av)
+        ext_parts = [t[2] for t in socx] + [t[3] for t in gpx]
         ext_diag = (
-            jnp.concatenate([t[2] for t in socx])
-            if socx else jnp.zeros(0)
+            jnp.concatenate(ext_parts) if ext_parts else jnp.zeros(0)
         )
         Kv = Kv.at[bufs["diag_map"]].add(
             jnp.concatenate([jnp.zeros(n), -hs_diag, ext_diag])
@@ -247,6 +268,16 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
             )
             Kv = Kv.at[bufs["xv_map"]].add(
                 jnp.concatenate([t[1] for t in socx])
+            )
+        if gpx:
+            Kv = Kv.at[bufs["gq_map"]].add(
+                jnp.concatenate([t[0] for t in gpx])
+            )
+            Kv = Kv.at[bufs["gr_map"]].add(
+                jnp.concatenate([t[1] for t in gpx])
+            )
+            Kv = Kv.at[bufs["gp_map"]].add(
+                jnp.concatenate([t[2] for t in gpx])
             )
         if reg_enable:
             eps = eps_const + eps_prop * _inf_norm(Kv[bufs["diag_map"]])
@@ -270,7 +301,7 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
 
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, ...]:
         # extension rows carry zero RHS (kktsolver_directldl.jl:313-343)
-        b = jnp.concatenate([rx, rz, jnp.zeros(2 * nx)])
+        b = jnp.concatenate([rx, rz, jnp.zeros(2 * nx + 3 * ngx)])
         x = _raw(fac, b)
         if not ir_enable:
             return (x[:n], x[n: n + m], jnp.all(jnp.isfinite(x)),

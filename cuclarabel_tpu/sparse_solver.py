@@ -10,7 +10,8 @@ Use it when the dense path's O(N^2) memory is the binding constraint
 (N = n + m beyond a few thousand).
 
 Cones: Zero/NN (diagonal Hs), SOC (dense blocks to dim 4, rank-2
-sparse expansion above), exp/pow (3x3 blocks).  No presolve/chordal
+sparse expansion above), exp/pow (3x3 blocks), GenPow (rank-3
+expansion).  No presolve/chordal
 step (row elimination would change the static sparsity pattern; PSD
 stays on the dense path)."""
 
@@ -133,10 +134,11 @@ class SparseSolver:
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
-        if self.layout.has_psd or self.layout.has_genpow:
+        if self.layout.has_psd:
             raise ValueError(
-                "SparseSolver supports Zero/Nonnegative/SOC/exp/pow "
-                "cones; use Solver for PSD and GenPow"
+                "SparseSolver supports Zero/Nonnegative/SOC/exp/pow/"
+                "GenPow cones; PSD stays on the dense path (use Solver; "
+                "chordal decomposition shrinks big PSD blocks there)"
             )
 
         b = np.minimum(b, get_infinity())
@@ -148,6 +150,7 @@ class SparseSolver:
         )
         self._has_P = bool(Ps.nnz)
         self.n, self.m = n, m
+        self._d, self._e, self._c = d, e, c
         self._sp = SparseProblem.from_scipy(
             Ps if self._has_P else None, As
         )
@@ -177,6 +180,93 @@ class SparseSolver:
         }
         self.solution: Optional[DefaultSolution] = None
         self.info: Optional[dict] = None
+
+    # -- parametric data updating (src/data_updating.jl semantics; the
+    # sparse path reuses the symbolic factorization and the compiled
+    # program, so re-solves skip both analysis and compilation) --------
+    def _vals_for_pattern(self, M, rows, cols, what):
+        import scipy.sparse as sp
+
+        C = sp.coo_matrix(M)
+        got = {(int(r), int(c)): float(v)
+               for r, c, v in zip(C.row, C.col, C.data)}
+        want = set(zip(rows.tolist(), cols.tolist()))
+        # explicit zeros outside the stored pattern are structurally
+        # irrelevant (scipy products routinely carry them)
+        extra = {k for k in (set(got) - want) if got[k] != 0.0}
+        if extra:
+            raise ValueError(
+                f"{what}: sparsity pattern must match the original "
+                f"(unexpected entries, e.g. {sorted(extra)[:3]})"
+            )
+        return np.asarray(
+            [got.get((int(r), int(c)), 0.0) for r, c in zip(rows, cols)]
+        )
+
+    def update_P(self, P) -> None:
+        """P_int = c * D P D on the stored upper pattern
+        (update_P!, data_updating.jl:56-71)."""
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        if P is None:
+            return
+        if not self._has_P:
+            raise ValueError("cannot update P: problem was built without P")
+        Pu = sp.triu(sp.csc_matrix(P))
+        vals = self._vals_for_pattern(
+            Pu, self._sp.P_rows, self._sp.P_cols, "P"
+        )
+        d, c = self._d, self._c
+        self._dev["Pv"] = jnp.asarray(
+            c * d[self._sp.P_rows] * d[self._sp.P_cols] * vals
+        )
+
+    def update_A(self, A) -> None:
+        """A_int = E A D (update_A!, data_updating.jl:85-100)."""
+        import jax.numpy as jnp
+
+        if A is None:
+            return
+        vals = self._vals_for_pattern(
+            A, self._sp.A_rows, self._sp.A_cols, "A"
+        )
+        self._dev["Av"] = jnp.asarray(
+            self._e[self._sp.A_rows] * self._d[self._sp.A_cols] * vals
+        )
+
+    def update_q(self, q) -> None:
+        import jax.numpy as jnp
+
+        if q is None:
+            return
+        q = np.asarray(q, dtype=np.float64).ravel()
+        if q.shape[0] != self.n:
+            raise ValueError("q: wrong length")
+        self._dev["q"] = jnp.asarray(self._c * self._d * q)
+        self._dev["normq"] = jnp.asarray(
+            float(np.abs(q).max()) if self.n else 0.0
+        )
+
+    def update_b(self, b) -> None:
+        import jax.numpy as jnp
+
+        if b is None:
+            return
+        b = np.asarray(b, dtype=np.float64).ravel()
+        if b.shape[0] != self.m:
+            raise ValueError("b: wrong length")
+        b = np.minimum(b, get_infinity())
+        self._dev["b"] = jnp.asarray(self._e * b)
+        self._dev["normb"] = jnp.asarray(
+            float(np.abs(b).max()) if self.m else 0.0
+        )
+
+    def update_data(self, P=None, q=None, A=None, b=None) -> None:
+        self.update_P(P)
+        self.update_q(q)
+        self.update_A(A)
+        self.update_b(b)
 
     def solve(self) -> DefaultSolution:
         import jax

@@ -69,13 +69,6 @@ def test_sparse_infeasible():
                         SolverStatus.ALMOST_PRIMAL_INFEASIBLE)
 
 
-def test_sparse_rejects_genpow():
-    A = sp.eye(4).tocsc()
-    with pytest.raises(ValueError, match="GenPow"):
-        SparseSolver(None, np.zeros(4), A, np.ones(4),
-                     [api.GenPowerConeT([0.5, 0.5], 2)])
-
-
 def test_sparse_medium_scale():
     """Larger instance (N ~ 800) solves and stays accurate.  (Kept
     moderate: late-suite XLA:CPU compiles of very deep level schedules
@@ -152,8 +145,47 @@ def test_sparse_exp_cone():
     assert np.isclose(s_sp.x[0], 1.0, atol=1e-6)
 
 
+def test_sparse_genpow_rank3_expansion():
+    """GenPow cones go through the rank-3 (q, r, p) expansion columns
+    (directldl_datamaps.jl:81-167); golden value from basic_genpow."""
+    from tests.test_basic_pow import basic_genpow_data
+
+    P, q, A, b, cones = basic_genpow_data()
+    s_sp = SparseSolver(sp.csc_matrix(P) if P is not None else None, q,
+                        sp.csc_matrix(A), b, cones).solve()
+    assert s_sp.status == SolverStatus.SOLVED
+    assert abs(s_sp.obj_val - (-1.8458)) < 1e-3
+    s_dn = Solver(P, q, A, b, cones, presolve_enable=False).solve()
+    np.testing.assert_allclose(s_sp.x, s_dn.x, atol=1e-6)
+
+
 def test_sparse_rejects_psd():
     A = sp.eye(3).tocsc()
     with pytest.raises(ValueError, match="PSD"):
         SparseSolver(None, np.zeros(3), A, np.ones(3),
                      [api.PSDTriangleConeT(2)])
+
+
+def test_sparse_update_data_resolve():
+    """Parametric re-solve: same sparsity pattern, new values; reuses
+    the symbolic factorization and the compiled program
+    (data_updating.jl semantics on the sparse path)."""
+    P, q, A, b, cones = _grid_qp(5, seed=9)
+    solver = SparseSolver(P, q, A, b, cones)
+    s1 = solver.solve()
+    assert s1.status == SolverStatus.SOLVED
+
+    q2 = q * 2.0 + 0.1
+    b2 = b + 0.05
+    P2 = P * 1.5
+    solver.update_data(P=P2, q=q2, b=b2)
+    s2 = solver.solve()
+    ref = SparseSolver(P2, q2, A, b2, cones).solve()
+    assert s2.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(s2.x, ref.x, atol=1e-7)
+    assert np.isclose(s2.obj_val, ref.obj_val, atol=1e-8)
+
+    with pytest.raises(ValueError, match="pattern"):
+        bad = P.tolil(copy=True)
+        bad[0, 3] = 5.0  # new structural entry off the grid stencil
+        solver.update_P(bad.tocsc())
