@@ -65,6 +65,7 @@ from .cones.api import (
 )
 from .solver import Solver, DefaultSolution
 from .infinity import get_infinity, set_infinity, default_infinity
+from .sparse_solver import SparseSolver
 from .modeling import (
     Model,
     Variable,
@@ -93,6 +94,7 @@ __all__ = [
     "get_infinity",
     "set_infinity",
     "default_infinity",
+    "SparseSolver",
     "Model",
     "Variable",
     "vstack",

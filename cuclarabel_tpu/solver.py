@@ -57,10 +57,21 @@ class DefaultSolution:
 
 
 def _to_dense(M, shape) -> np.ndarray:
-    """Accept scipy.sparse or array-like, return dense f64 ndarray."""
+    """Accept scipy.sparse or array-like, return dense f64 ndarray.
+
+    Densification of large sparse inputs is an O(rows*cols) memory
+    cliff; refuse past ~1 GB and point at SparseSolver instead of
+    silently allocating tens of GB."""
     if M is None:
         return np.zeros(shape, dtype=np.float64)
     if hasattr(M, "toarray"):
+        cells = int(shape[0]) * int(shape[1])
+        if cells * 8 > 1 << 30:
+            raise ValueError(
+                f"refusing to densify a sparse {shape} matrix "
+                f"({cells * 8 / 1e9:.1f} GB dense); use "
+                "cuclarabel_tpu.SparseSolver for large sparse problems"
+            )
         out = np.asarray(M.toarray(), dtype=np.float64)
     else:
         out = np.asarray(M, dtype=np.float64)

@@ -148,6 +148,12 @@ class SparseSolver:
         Ps, As, qs, bs, d, e, c = sparse_ruiz_equilibrate(
             P, A, q, b, self.layout, settings
         )
+        if settings.input_sparse_dropzeros:
+            # drop explicit zeros from the stored pattern
+            # (input_sparse_dropzeros, problemdata.jl:64-70); data
+            # updates then require the reduced pattern
+            Ps.eliminate_zeros()
+            As.eliminate_zeros()
         self._has_P = bool(Ps.nnz)
         self.n, self.m = n, m
         self._d, self._e, self._c = d, e, c

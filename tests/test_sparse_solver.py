@@ -189,3 +189,16 @@ def test_sparse_update_data_resolve():
         bad = P.tolil(copy=True)
         bad[0, 3] = 5.0  # new structural entry off the grid stencil
         solver.update_P(bad.tocsc())
+
+
+def test_sparse_dropzeros_setting():
+    """input_sparse_dropzeros=True prunes explicit zeros from the
+    stored pattern (problemdata.jl:64-70 analog)."""
+    P, q, A, b, cones = _grid_qp(4, seed=11)
+    # P from scipy.kron carries explicit zeros (BSR blocks)
+    nnz_with = SparseSolver(P, q, A, b, cones)._sp.P_rows.shape[0]
+    nnz_drop = SparseSolver(P, q, A, b, cones,
+                            input_sparse_dropzeros=True)._sp.P_rows.shape[0]
+    assert nnz_drop <= nnz_with
+    s = SparseSolver(P, q, A, b, cones, input_sparse_dropzeros=True).solve()
+    assert s.status == SolverStatus.SOLVED
