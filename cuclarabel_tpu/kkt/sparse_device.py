@@ -164,35 +164,43 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
                 if li != lj:
                     k_src.append(p)
                     k_dst.append(base + lj * fmax + li)
-            # children updates
+            # children updates (vectorized: these maps are r^2-sized and
+            # dominate host planning time/memory at large N)
             for c in np.nonzero(sym.sn_parent == s)[0]:
                 rows_c = sym.sn_rows[int(c)]
                 rc = len(rows_c)
-                slots = [slot(g) for g in rows_c]
-                for a in range(rc):
-                    for b_ in range(rc):
-                        u_src.append(int(uoff[c]) + a * rc + b_)
-                        u_dst.append(
-                            base + slots[a] * fmax + slots[b_]
-                        )
+                slots = np.asarray([slot(g) for g in rows_c],
+                                   dtype=np.int64)
+                u_src.append(int(uoff[c]) + np.arange(rc * rc,
+                                                      dtype=np.int64))
+                u_dst.append(
+                    (base + slots[:, None] * fmax
+                     + slots[None, :]).ravel()
+                )
             # update write-back (rows block after elimination)
-            for a in range(r):
-                for b_ in range(r):
-                    w_src.append(
-                        base + (wmax + a) * fmax + (wmax + b_)
-                    )
-                    w_dst.append(int(uoff[s]) + a * r + b_)
+            rr = np.arange(r, dtype=np.int64)
+            w_src.append(
+                (base + (wmax + rr)[:, None] * fmax
+                 + (wmax + rr)[None, :]).ravel()
+            )
+            w_dst.append(int(uoff[s]) + np.arange(r * r, dtype=np.int64))
+
+        def _cat(parts):
+            return (
+                np.concatenate(parts) if parts
+                else np.zeros(0, dtype=np.int64)
+            )
 
         level_plans.append(_LevelPlan(
             snodes=np.asarray(lev_sns, dtype=np.int64),
             wmax=wmax, fmax=fmax,
             k_src=np.asarray(k_src, dtype=np.int64),
             k_dst=np.asarray(k_dst, dtype=np.int64),
-            u_src=np.asarray(u_src, dtype=np.int64),
-            u_dst=np.asarray(u_dst, dtype=np.int64),
+            u_src=_cat(u_src),
+            u_dst=_cat(u_dst),
             col_gid=col_gid, dsign=dsign,
-            w_src=np.asarray(w_src, dtype=np.int64),
-            w_dst=np.asarray(w_dst, dtype=np.int64),
+            w_src=_cat(w_src),
+            w_dst=_cat(w_dst),
             gidx=gidx,
         ))
 
