@@ -114,9 +114,16 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         # TPU: the double-float Pallas LDL engine wins end-to-end at
         # every batch size (v5e, portfolio SOCP: 2193/s vs 1872/s at
         # B=256, 2264/s vs 398/s at B=4096 against the f32-inverse
-        # path) with f64-grade factors — see pallas_dd.py.  Elsewhere
-        # the interpret-mode kernels are slow, so use pivoted LU.
-        method = "pallas" if jax.default_backend() in ("tpu", "axon") else "lu"
+        # path) with f64-grade factors — see pallas_dd.py.  The kernel
+        # is UNROLLED over N pivots, so Mosaic compile memory grows
+        # ~N^3-ish: past N ~ 128 the remote compile helper OOMs
+        # (observed SIGKILL at N=160) and the (N,N,128) hi/lo fronts
+        # outgrow VMEM — fall back to the explicit-inverse path there.
+        # Elsewhere the interpret-mode kernels are slow: pivoted LU.
+        if jax.default_backend() in ("tpu", "axon"):
+            method = "pallas" if N <= 128 else "inverse"
+        else:
+            method = "lu"
 
     def _assemble(P, A, Hs):
         top = jnp.concatenate([P, A.T], axis=1)
