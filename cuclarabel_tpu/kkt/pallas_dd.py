@@ -186,6 +186,90 @@ def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
         xl_ref[j, :] = l
 
 
+UNROLL_MAX = 96  # unrolled kernels past this explode Mosaic compile
+
+
+def _ldl_kernel_looped(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
+                       dh_ref, dl_ref):
+    """fori_loop dd LDL^T with masked full-width updates: constant IR in
+    n (the unrolled kernel's compile memory grows superlinearly and
+    OOMs the remote compiler around n ~ 160)."""
+    lanes = kh_ref.shape[-1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    diag_m = (iota_r == iota_c).astype(kh_ref.dtype)
+    # copy + add regularization on the diagonal (exact: off-diagonal
+    # addend is exactly zero)
+    h, l = dd_add(kh_ref[...], kl_ref[...],
+                  reg_ref[...][:, None, :] * diag_m,
+                  jnp.zeros((n, n, lanes), kh_ref.dtype))
+    lh_ref[...] = h
+    ll_ref[...] = l
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    def body(j, _):
+        djh = lh_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        djl = ll_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        ih, il = dd_recip(djh, djl)
+        dh_ref[pl.ds(j, 1), :] = ih[None, :]
+        dl_ref[pl.ds(j, 1), :] = il[None, :]
+        colh = lh_ref[:, pl.ds(j, 1), :][:, 0, :]
+        coll = ll_ref[:, pl.ds(j, 1), :][:, 0, :]
+        lch, lcl = dd_mul(colh, coll, ih[None, :], il[None, :])
+        gt = (col_iota > j).astype(colh.dtype)  # (1, n, 1)
+        ph, pe = dd_mul(
+            colh[:, None, :], coll[:, None, :],
+            lch[None, :, :] * gt, lcl[None, :, :] * gt,
+        )
+        uh, ul = dd_sub(lh_ref[...], ll_ref[...], ph, pe)
+        lh_ref[...] = uh
+        ll_ref[...] = ul
+        lh_ref[:, pl.ds(j, 1), :] = lch[:, None, :]
+        ll_ref[:, pl.ds(j, 1), :] = lcl[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _solve_kernel_looped(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref,
+                         bl_ref, xh_ref, xl_ref):
+    xh_ref[...] = bh_ref[...]
+    xl_ref[...] = bl_ref[...]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def fwd(j, _):
+        colh = lh_ref[:, pl.ds(j, 1), :][:, 0, :]
+        coll = ll_ref[:, pl.ds(j, 1), :][:, 0, :]
+        gt = (row_iota > j).astype(colh.dtype)  # (n, 1)
+        xjh = xh_ref[pl.ds(j, 1), :][0, :]
+        xjl = xl_ref[pl.ds(j, 1), :][0, :]
+        ph, pe = dd_mul(colh * gt, coll * gt, xjh[None, :], xjl[None, :])
+        h, l = dd_sub(xh_ref[...], xl_ref[...], ph, pe)
+        xh_ref[...] = h
+        xl_ref[...] = l
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+    h, l = dd_mul(xh_ref[...], xl_ref[...], dh_ref[...], dl_ref[...])
+    xh_ref[...] = h
+    xl_ref[...] = l
+
+    def bwd(jj, _):
+        j = n - 1 - jj
+        colh = lh_ref[:, pl.ds(j, 1), :][:, 0, :]
+        coll = ll_ref[:, pl.ds(j, 1), :][:, 0, :]
+        gt = (row_iota > j).astype(colh.dtype)
+        ph, pe = dd_mul(colh * gt, coll * gt, xh_ref[...], xl_ref[...])
+        sh, sl = dd_sum_axis0(ph, pe)
+        h, l = dd_sub(xh_ref[pl.ds(j, 1), :][0, :],
+                      xl_ref[pl.ds(j, 1), :][0, :], sh, sl)
+        xh_ref[pl.ds(j, 1), :] = h[None, :]
+        xl_ref[pl.ds(j, 1), :] = l[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
 def _residual_kernel(n, kh_ref, kl_ref, xh_ref, xl_ref, bh_ref, bl_ref,
                      rh_ref, rl_ref):
     """r = b - K x in dd (K unregularized): one vectorized (n, n, lanes)
@@ -210,6 +294,16 @@ def _residual_kernel(n, kh_ref, kl_ref, xh_ref, xl_ref, bh_ref, bl_ref,
 # mismatched shapes).  Standalone users jit at the call site.
 # ---------------------------------------------------------------------
 
+def _lanes_for(n: int) -> int:
+    """Lane (batch-tile) width by matrix size: the (n, n, lanes) hi/lo
+    fronts plus live temporaries must fit scoped VMEM."""
+    if n <= 128:
+        return LANES
+    if n <= 192:
+        return 64
+    return 32
+
+
 def _pad_lanes(x, bc=LANES):
     b = x.shape[-1]
     pad = (-b) % bc
@@ -233,16 +327,18 @@ def join_f64(hi, lo):
 
 def _factor_impl(Kh, Kl, reg, interpret):
     N = Kh.shape[0]
-    Khp = _pad_lanes(Kh)
-    Klp = _pad_lanes(Kl)
-    regp = _pad_lanes(reg)
+    lanes = _lanes_for(N)
+    Khp = _pad_lanes(Kh, lanes)
+    Klp = _pad_lanes(Kl, lanes)
+    regp = _pad_lanes(reg, lanes)
     Bp = Khp.shape[-1]
     b0 = Kh.shape[-1]
-    mat = pl.BlockSpec((N, N, LANES), lambda i: (0, 0, i))
-    vec = pl.BlockSpec((N, LANES), lambda i: (0, i))
+    mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
+    kern = _ldl_kernel if N <= UNROLL_MAX else _ldl_kernel_looped
     Lh, Ll, Dh, Dl = pl.pallas_call(
-        functools.partial(_ldl_kernel, N),
-        grid=(Bp // LANES,),
+        functools.partial(kern, N),
+        grid=(Bp // lanes,),
         in_specs=[mat, mat, vec],
         out_specs=[mat, mat, vec, vec],
         out_shape=[
@@ -259,14 +355,16 @@ def _factor_impl(Kh, Kl, reg, interpret):
 
 def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret):
     N = Lh.shape[0]
+    lanes = _lanes_for(N)
     b0 = bh.shape[-1]
-    args = [_pad_lanes(a) for a in (Lh, Ll, Dh, Dl, bh, bl)]
+    args = [_pad_lanes(a, lanes) for a in (Lh, Ll, Dh, Dl, bh, bl)]
     Bp = args[0].shape[-1]
-    mat = pl.BlockSpec((N, N, LANES), lambda i: (0, 0, i))
-    vec = pl.BlockSpec((N, LANES), lambda i: (0, i))
+    mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
+    kern = _solve_kernel if N <= UNROLL_MAX else _solve_kernel_looped
     xh, xl = pl.pallas_call(
-        functools.partial(_solve_kernel, N),
-        grid=(Bp // LANES,),
+        functools.partial(kern, N),
+        grid=(Bp // lanes,),
         in_specs=[mat, mat, vec, vec, vec, vec],
         out_specs=[vec, vec],
         out_shape=[
@@ -281,14 +379,15 @@ def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret):
 
 def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret):
     N = Kh.shape[0]
+    lanes = _lanes_for(N)
     b0 = bh.shape[-1]
-    args = [_pad_lanes(a) for a in (Kh, Kl, xh, xl, bh, bl)]
+    args = [_pad_lanes(a, lanes) for a in (Kh, Kl, xh, xl, bh, bl)]
     Bp = args[0].shape[-1]
-    mat = pl.BlockSpec((N, N, LANES), lambda i: (0, 0, i))
-    vec = pl.BlockSpec((N, LANES), lambda i: (0, i))
+    mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
     rh, rl = pl.pallas_call(
         functools.partial(_residual_kernel, N),
-        grid=(Bp // LANES,),
+        grid=(Bp // lanes,),
         in_specs=[mat, mat, vec, vec, vec, vec],
         out_specs=[vec, vec],
         out_shape=[

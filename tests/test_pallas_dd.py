@@ -212,3 +212,39 @@ def test_dd_solver_socp():
     ref = Solver(None, q, A, b, cones).solve()
     assert sol.status == SolverStatus.SOLVED
     np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)
+
+
+def test_dd_looped_kernels_match_unrolled(monkeypatch):
+    """The fori_loop kernel variants (used for N > UNROLL_MAX, where the
+    unrolled Mosaic compile explodes) produce the same factors/solves."""
+    from cuclarabel_tpu.kkt import pallas_dd as pd
+
+    rng = np.random.default_rng(7)
+    B, n, m = 3, 5, 8
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=2.0)
+    b = rng.standard_normal((B, N))
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(jnp.asarray(dsigns * 1e-8)[:, None], (N, B))
+    bh, bl = split_f64(_lane(b))
+
+    Lh0, Ll0, Dh0, Dl0 = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                       interpret=True)
+    x0h, x0l = dd_ldl_solve(Lh0, Ll0, Dh0, Dl0, bh, bl, interpret=True)
+
+    monkeypatch.setattr(pd, "UNROLL_MAX", 0)  # force the looped path
+    Lh1, Ll1, Dh1, Dl1 = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                       interpret=True)
+    x1h, x1l = dd_ldl_solve(Lh1, Ll1, Dh1, Dl1, bh, bl, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(join_f64(Dh1, Dl1)),
+                               np.asarray(join_f64(Dh0, Dl0)), rtol=1e-12)
+    # different summation orders differ by ~cond * eps_dd; the real
+    # criterion is residual quality of the looped solve
+    x_un = _unlane(join_f64(x0h, x0l))
+    x_lp = _unlane(join_f64(x1h, x1l))
+    np.testing.assert_allclose(x_lp, x_un, rtol=1e-6, atol=1e-8)
+    Kreg = K + (dsigns * 1e-8) * np.eye(N)
+    res = b - np.einsum("bij,bj->bi", Kreg, x_lp)
+    assert np.abs(res).max() / np.abs(b).max() < 1e-10
