@@ -11,15 +11,15 @@ Use it when the dense path's O(N^2) memory is the binding constraint
 
 Cones: Zero/NN (diagonal Hs), SOC (dense blocks to dim 4, rank-2
 sparse expansion above), exp/pow (3x3 blocks), GenPow (rank-3
-expansion).  No presolve/chordal
-step (row elimination would change the static sparsity pattern; PSD
-stays on the dense path)."""
+expansion).  Presolve runs before pattern analysis (so it composes);
+no chordal step (PSD stays on the dense path)."""
 
 import time
 from typing import Optional, Sequence
 
 import numpy as np
 
+from . import presolve as presolve_mod
 from .cones import api, ops as cone_ops
 from .cones.api import cones_collapsed
 from .cones.layout import build_layout
@@ -110,8 +110,8 @@ def sparse_ruiz_equilibrate(P, A, q, b, layout, settings):
 
 
 class SparseSolver:
-    """min (1/2)x'Px + q'x  s.t.  Ax + s = b, s in K (Zero/NN only),
-    with P, A scipy sparse."""
+    """min (1/2)x'Px + q'x  s.t.  Ax + s = b, s in K, with P, A scipy
+    sparse (every cone class except PSD)."""
 
     def __init__(self, P, q, A, b, cones: Sequence[api.SupportedCone],
                  settings: Optional[Settings] = None, **kwargs):
@@ -130,7 +130,24 @@ class SparseSolver:
         if A.shape != (m, n):
             raise ValueError("A shape inconsistent with q/b")
 
+        import scipy.sparse as sp
+
         cones = cones_collapsed(list(cones))
+        # presolve (presolver.jl): runs BEFORE pattern analysis, so the
+        # sparse path supports it like the dense one; data updates are
+        # then forbidden (check_data_update_allowed semantics)
+        infbound = get_infinity()
+        self.presolver = presolve_mod.try_presolve(
+            cones, b, settings, infbound
+        )
+        if self.presolver is not None:
+            A = sp.csr_matrix(A)[self.presolver.keep]
+            b = b[self.presolver.keep]
+            _, _, cones = presolve_mod.apply_presolve(
+                self.presolver, np.zeros((self.presolver.mfull, 0)), 
+                np.zeros(self.presolver.mfull), cones
+            )
+            m = b.shape[0]
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
@@ -190,6 +207,12 @@ class SparseSolver:
     # -- parametric data updating (src/data_updating.jl semantics; the
     # sparse path reuses the symbolic factorization and the compiled
     # program, so re-solves skip both analysis and compilation) --------
+    def _check_update_allowed(self):
+        if self.presolver is not None:
+            raise ValueError(
+                "Data updates not allowed if presolver is active."
+            )
+
     def _vals_for_pattern(self, M, rows, cols, what):
         import scipy.sparse as sp
 
@@ -217,6 +240,7 @@ class SparseSolver:
 
         if P is None:
             return
+        self._check_update_allowed()
         if not self._has_P:
             raise ValueError("cannot update P: problem was built without P")
         Pu = sp.triu(sp.csc_matrix(P))
@@ -234,6 +258,7 @@ class SparseSolver:
 
         if A is None:
             return
+        self._check_update_allowed()
         vals = self._vals_for_pattern(
             A, self._sp.A_rows, self._sp.A_cols, "A"
         )
@@ -246,6 +271,7 @@ class SparseSolver:
 
         if q is None:
             return
+        self._check_update_allowed()
         q = np.asarray(q, dtype=np.float64).ravel()
         if q.shape[0] != self.n:
             raise ValueError("q: wrong length")
@@ -259,6 +285,7 @@ class SparseSolver:
 
         if b is None:
             return
+        self._check_update_allowed()
         b = np.asarray(b, dtype=np.float64).ravel()
         if b.shape[0] != self.m:
             raise ValueError("b: wrong length")
@@ -288,10 +315,16 @@ class SparseSolver:
         solve_time = time.perf_counter() - t0
 
         self.info = {k: out[k] for k in out}
+        s_out = np.asarray(out["s"])
+        z_out = np.asarray(out["z"])
+        if self.presolver is not None:
+            s_out, z_out = presolve_mod.reverse_presolve(
+                self.presolver, s_out, z_out
+            )
         self.solution = DefaultSolution(
             x=np.asarray(out["x"]),
-            z=np.asarray(out["z"]),
-            s=np.asarray(out["s"]),
+            z=z_out,
+            s=s_out,
             status=SolverStatus(int(out["status"])),
             obj_val=float(out["obj_val"]),
             obj_val_dual=float(out["obj_val_dual"]),

@@ -202,3 +202,22 @@ def test_sparse_dropzeros_setting():
     assert nnz_drop <= nnz_with
     s = SparseSolver(P, q, A, b, cones, input_sparse_dropzeros=True).solve()
     assert s.status == SolverStatus.SOLVED
+
+
+def test_sparse_presolve_roundtrip():
+    """Infinite-bound rows drop before pattern analysis and the slacks
+    come back as s=infbound, z=0 (presolver.jl:85-107)."""
+    from cuclarabel_tpu.infinity import get_infinity
+
+    P, q, A, b, cones = _grid_qp(5, seed=13)
+    b2 = b.copy()
+    b2[3] = 1e21  # above INFINITY -> dropped
+    solver = SparseSolver(P, q, A, b2, cones)
+    assert solver.presolver is not None
+    sol = solver.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert sol.s.shape[0] == b.shape[0]
+    assert sol.s[3] == get_infinity()
+    assert sol.z[3] == 0.0
+    with pytest.raises(ValueError, match="presolver"):
+        solver.update_q(q)
