@@ -265,7 +265,11 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
             ubuf = ubuf.at[bufs[f"l{i}_wdst"]].set(
                 F.reshape(-1)[bufs[f"l{i}_wsrc"]]
             )
-        fronts_out.append(F)
+        # keep only the eliminated panel: the solves read columns
+        # < wmax exclusively, and the trailing (r, r) block just went
+        # into ubuf — storing full squares held ~fmax/wmax times more
+        # memory and is what blew HBM at N ~ 20k
+        fronts_out.append(F[:, :, :wmax])
 
     ok = ok & jnp.all(jnp.isfinite(Dinv))
     return {"fronts": fronts_out, "Dinv": Dinv}, ok
@@ -286,6 +290,7 @@ def solve(plan: NumericPlan, fac, b, bufs):
         def fwd_body(j, xf):
             gt = (iota > j).astype(xf.dtype)
             return xf - (F[:, :, j] * gt[None, :]) * xf[:, j][:, None]
+
 
         xf = jax.lax.fori_loop(0, wmax, fwd_body, xf)
         # columns: overwrite; rows: accumulate the delta
