@@ -52,6 +52,7 @@ __all__ = [
     "norm2",
     "quad_form",
     "sumsq",
+    "svec_stack",
     "moi_termination_status",
     "moi_primal_status",
     "moi_dual_status",
@@ -384,6 +385,27 @@ def sumsq(expr: AffineExpr) -> QuadExpr:
     return quad_form(expr, np.eye(expr.k))
 
 
+def svec_stack(M) -> AffineExpr:
+    """Stack a (d, d) symmetric matrix of scalar expressions/constants
+    into the svec (scaled upper-triangle, column-major) layout the
+    PSDTriangleConeT expects: off-diagonal entries scaled by sqrt(2)
+    (svec convention of coneops_psdtrianglecone.jl:469-497)."""
+    d = len(M)
+    rt2 = float(np.sqrt(2.0))
+    parts = []
+    for j in range(d):
+        for i in range(j + 1):
+            e = M[i][j]
+            scale = 1.0 if i == j else rt2
+            if isinstance(e, AffineExpr):
+                if e.k != 1:
+                    raise ValueError("matrix entries must be scalars")
+                parts.append(e * scale)
+            else:
+                parts.append(float(e) * scale)
+    return vstack(parts)
+
+
 # ---------------------------------------------------------------------
 # status maps (MOI_wrapper.jl:48-85)
 # ---------------------------------------------------------------------
@@ -477,6 +499,14 @@ class Model:
             raise TypeError(f"cannot add {type(con)} as a constraint")
         self.constraints.append(con)
         return con
+
+    def add_psd_constraint(self, M):
+        """M (d, d) nested list/array of scalar expressions: constrain
+        the symmetric matrix to be PSD (svec into PSDTriangleConeT; the
+        MOI PositiveSemidefiniteConeTriangle analog)."""
+        d = len(M)
+        expr = svec_stack(M)
+        return self.add_constraint(expr, api.PSDTriangleConeT(d))
 
     def minimize(self, expr):
         self._objective = expr

@@ -201,3 +201,31 @@ def test_mixed_model_rejected():
     x1, x2 = m1.add_variables(2), m2.add_variables(2)
     with pytest.raises(ValueError):
         x1 + x2
+
+
+def test_psd_constraint_sugar():
+    """min t s.t. [[t, 1], [1, t]] PSD  ->  t = 1."""
+    m = md.Model()
+    t = m.add_variables(1)
+    m.add_psd_constraint([[t, 1.0], [1.0, t]])
+    m.minimize(t @ np.array([1.0]))
+    sol = m.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert np.isclose(t.value, 1.0, atol=1e-5)
+
+
+def test_psd_constraint_matrix_completion():
+    """min x s.t. [[1, x, 0], [x, 1, x], [0, x, 1]] PSD and x >= -2:
+    the matrix is PSD iff |x| <= 1/sqrt(2); minimizing x gives
+    x = -1/sqrt(2)."""
+    m = md.Model()
+    x = m.add_variables(1)
+    m.add_psd_constraint([
+        [1.0, x, 0.0],
+        [x, 1.0, x],
+        [0.0, x, 1.0],
+    ])
+    m.minimize(x @ np.array([1.0]))
+    sol = m.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert np.isclose(x.value, -1.0 / np.sqrt(2.0), atol=1e-5)
