@@ -192,6 +192,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         from .pallas_dd import (
             dd_ldl_factor,
             dd_ldl_solve,
+            dd_ldl_solve_refine,
             dd_residual,
             join_f64,
             split_f64,
@@ -199,6 +200,10 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         interp = jax.default_backend() not in ("tpu", "axon")
         permj = jnp.asarray(perm)
+        # passes fused into the solve kernel launch (L and K stream from
+        # HBM once for all of them); measured IR mean is 1.4 passes, so
+        # 2 fused passes leave the outer tolerance loop rarely taken
+        npass_fused = max(0, min(2, ir_maxiter)) if ir_enable else 0
 
         @custom_vmap
         def _dd_factor(Ksp, regp):
@@ -265,6 +270,30 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             )
             return jnp.moveaxis(join_f64(rh, rl), -1, 0), True
 
+        @custom_vmap
+        def _dd_refsolve(Kh, Kl, Lh, Ll, Dh, Dl, bs):
+            ex = lambda a: a[..., None]
+            bh, bl = split_f64(bs[:, None])
+            xh, xl, rh, rl = dd_ldl_solve_refine(
+                ex(Kh), ex(Kl), ex(Lh), ex(Ll), ex(Dh), ex(Dl), bh, bl,
+                npass=npass_fused, interpret=interp,
+            )
+            return join_f64(xh, xl)[:, 0], join_f64(rh, rl)[:, 0]
+
+        @_dd_refsolve.def_vmap
+        def _dd_refsolve_vmap(axis_size, in_batched, Kh, Kl, Lh, Ll,
+                              Dh, Dl, bs):
+            lane = lambda a: jnp.moveaxis(a, 0, -1)
+            bh, bl = split_f64(lane(bs))
+            xh, xl, rh, rl = dd_ldl_solve_refine(
+                lane(Kh), lane(Kl), lane(Lh), lane(Ll), lane(Dh),
+                lane(Dl), bh, bl, npass=npass_fused, interpret=interp,
+            )
+            return (
+                jnp.moveaxis(join_f64(xh, xl), -1, 0),
+                jnp.moveaxis(join_f64(rh, rl), -1, 0),
+            ), (True, True)
+
         def factorize(P, A, Hs):
             K, Ks, dj, regdiag = _assemble(P, A, Hs)
             Ksu = Ks - jnp.diag(regdiag)  # scaled, unregularized
@@ -292,9 +321,15 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
                 # tolerance test in the reference's (unscaled) units
                 return _inf_norm(rs / djp)
 
-            x = _dd_solve(fac["Lh"], fac["Ll"], fac["Dh"], fac["Dl"], bs)
             if ir_enable:
-                e0 = _dd_resid(fac["Kh"], fac["Kl"], x, bs)
+                # fused kernel: solve + npass_fused gated refinement
+                # passes in one launch, returning the accepted iterate
+                # and its residual; the while_loop below only runs for
+                # stragglers still above tolerance
+                x, e0 = _dd_refsolve(
+                    fac["Kh"], fac["Kl"], fac["Lh"], fac["Ll"],
+                    fac["Dh"], fac["Dl"], bs,
+                )
                 norme0 = unscaled_norm(e0)
                 ok0 = jnp.isfinite(norme0)
 
@@ -324,10 +359,13 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
                     )
 
                 x, _, norme, nir, _, okr = jax.lax.while_loop(
-                    cond, body, (x, e0, norme0, 0, False, ok0)
+                    cond, body, (x, e0, norme0, npass_fused, False, ok0)
                 )
                 ok = okr & jnp.isfinite(norme)
             else:
+                x = _dd_solve(
+                    fac["Lh"], fac["Ll"], fac["Dh"], fac["Dl"], bs
+                )
                 nir = jnp.asarray(0)
                 ok = jnp.all(jnp.isfinite(x))
             xout = dj * x[iperm]

@@ -248,3 +248,43 @@ def test_dd_looped_kernels_match_unrolled(monkeypatch):
     Kreg = K + (dsigns * 1e-8) * np.eye(N)
     res = b - np.einsum("bij,bj->bi", Kreg, x_lp)
     assert np.abs(res).max() / np.abs(b).max() < 1e-10
+
+
+def test_dd_fused_refine_matches_unfused():
+    """dd_ldl_solve_refine must equal solve + npass monotone-accepted
+    refinement rounds done with separate launches, and return the true
+    residual of the accepted iterate."""
+    from cuclarabel_tpu.kkt.pallas_dd import dd_ldl_solve_refine
+
+    rng = np.random.default_rng(11)
+    B, n, m = 5, 9, 12
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=5.0)
+    b = rng.standard_normal((B, N))
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(jnp.asarray(dsigns * 1e-8)[:, None], (N, B))
+    Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                   interpret=True)
+    bh, bl = split_f64(_lane(b))
+
+    xh, xl, rh, rl = dd_ldl_solve_refine(
+        Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2, interpret=True)
+    x = _unlane(join_f64(xh, xl))
+    r = _unlane(join_f64(rh, rl))
+
+    # returned residual must be b - K x of the returned iterate
+    # (UNregularized K, matching dd_residual semantics)
+    r_ref = b - np.einsum("bij,bj->bi", K, x)
+    scale = max(np.abs(b).max(), 1.0)
+    assert np.abs(r - r_ref).max() / scale < 1e-12
+
+    # accuracy: refined dd iterate should be at solver-quality residual
+    assert np.abs(r_ref).max() / scale < 1e-10
+
+    # npass=0 reduces to the plain solve
+    x0h, x0l, r0h, r0l = dd_ldl_solve_refine(
+        Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=0, interpret=True)
+    xsh, xsl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x0h), np.asarray(xsh))
+    np.testing.assert_array_equal(np.asarray(x0l), np.asarray(xsl))
