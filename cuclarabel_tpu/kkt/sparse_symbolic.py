@@ -69,11 +69,16 @@ def row_patterns(N: int, Ap: np.ndarray, Ai: np.ndarray,
 
 def find_supernodes(parent: np.ndarray, colcount: np.ndarray,
                     relax: int = 8):
-    """Fundamental supernodes with relaxation: consecutive columns merge
-    when parent(j) = j+1 and the structures nest (colcount[j] =
-    colcount[j+1] + 1), or when the mismatch is at most `relax` padding
-    rows (relaxed amalgamation keeps fronts big enough for the MXU).
-    Returns snode start indices (ns+1,) and a col->snode map."""
+    """Fundamental supernodes: consecutive columns merge when
+    parent(j) = j+1, j+1 has no other etree child, and the structures
+    nest exactly (colcount[j] = colcount[j+1] + 1).  Relaxation happens
+    afterwards on the supernodal tree (`amalgamate`), not here — the
+    strict nchild==1 condition fails on nearly every separator column
+    of a dissection ordering (subdomain updates attach extra children),
+    which left every supernode width-1 before relaxed amalgamation
+    existed.  Returns snode start indices (ns+1,) and a col->snode map.
+    `relax` is accepted for signature stability; exact nesting only."""
+    del relax
     N = parent.shape[0]
     nchild = np.zeros(N, dtype=np.int64)
     for j in range(N):
@@ -85,7 +90,7 @@ def find_supernodes(parent: np.ndarray, colcount: np.ndarray,
         mergeable = (
             parent[prev] == j
             and nchild[j] == 1
-            and colcount[prev] <= colcount[j] + 1 + relax
+            and colcount[prev] == colcount[j] + 1
         )
         if not mergeable:
             starts.append(j)
@@ -95,6 +100,99 @@ def find_supernodes(parent: np.ndarray, colcount: np.ndarray,
     for s in range(len(starts) - 1):
         col2sn[starts[s]: starts[s + 1]] = s
     return starts, col2sn
+
+
+def amalgamate(N: int, sn_starts: np.ndarray, cols: List[List[int]],
+               relax: int = 8, max_pad_frac: float = 0.25,
+               small: int = 16):
+    """Relaxed supernode amalgamation (CHOLMOD-style) on the supernodal
+    assembly tree.  A child supernode merges into its parent when its
+    columns immediately precede the parent's (contiguity keeps the
+    assembly-tree containment property: the merged node's rows are the
+    union minus its own columns) and the merge stays cheap: both sides
+    small (<= `small` columns), or the explicit-zero padding introduced
+    in the merged front is <= `max_pad_frac` of its lower triangle, or
+    the row-structure mismatch is <= `relax` rows.  This is what turns
+    the width-1 chains a dissection ordering produces on separators
+    into wide MXU-friendly panels — without it the level schedule of a
+    100x100 grid KKT was 484 levels deep with wmax=1 everywhere.
+
+    cols: per-column strict-lower L patterns (row_patterns output).
+    Returns new sn_starts."""
+    starts = [int(s) for s in sn_starts[:-1]]
+    ends = [int(s) for s in sn_starts[1:]]
+    ns = len(starts)
+    # per-snode row structure (below own columns) and nnz bookkeeping
+    rows: List[set] = []
+    width = []
+    nzero = []  # explicit zeros already committed by earlier merges
+    for s in range(ns):
+        c0, c1 = starts[s], ends[s]
+        r = set()
+        for j in range(c0, c1):
+            r.update(x for x in cols[j] if x >= c1)
+        rows.append(r)
+        width.append(c1 - c0)
+        nzero.append(_snode_pad(c0, c1, r, cols))
+    parent_of = list(range(ns))  # union-find over merged snodes
+
+    def find(s):
+        while parent_of[s] != s:
+            parent_of[s] = parent_of[parent_of[s]]
+            s = parent_of[s]
+        return s
+
+    col2sn = np.zeros(N, dtype=np.int64)
+    for s in range(ns):
+        col2sn[starts[s]: ends[s]] = s
+
+    # walk children in reverse column order so chains collapse bottom-up
+    for s in range(ns - 2, -1, -1):
+        c = find(s)
+        r = rows[c]
+        if not r:
+            continue
+        p = find(int(col2sn[min(r)]))
+        if p == c or starts[p] != ends[c]:
+            continue  # not the immediately following snode
+        wc, wp = width[c], width[p]
+        merged_rows = (r | rows[p]) - set(range(ends[c], ends[p]))
+        w = wc + wp
+        f = w + len(merged_rows)
+        # nnz of the merged lower-triangular panel vs the true nnz
+        tri = w * (w + 1) // 2 + w * len(merged_rows)
+        true_nnz = (
+            wc * (wc + 1) // 2 + wc * len(r)
+            + wp * (wp + 1) // 2 + wp * len(rows[p])
+            - nzero[c] - nzero[p]
+        )
+        pad = tri - true_nnz
+        ok = (
+            (wc <= small and wp <= small)
+            or pad <= relax * w
+            or (tri > 0 and pad / tri <= max_pad_frac)
+        )
+        if not ok:
+            continue
+        parent_of[c] = p
+        starts[p] = starts[c]
+        width[p] = w
+        rows[p] = merged_rows
+        nzero[p] = pad
+
+    new_starts = sorted({starts[find(s)] for s in range(ns)} | {N})
+    return np.asarray(new_starts, dtype=np.int64)
+
+
+def _snode_pad(c0: int, c1: int, rows: set, cols: List[List[int]]) -> int:
+    """Explicit zeros in a supernode panel: slots of the (c1-c0)-wide
+    lower panel not present in the member columns' true patterns."""
+    w = c1 - c0
+    tri = w * (w + 1) // 2 + w * len(rows)
+    true_nnz = 0
+    for j in range(c0, c1):
+        true_nnz += 1 + sum(1 for x in cols[j] if x > j)
+    return tri - true_nnz
 
 
 @dataclasses.dataclass
@@ -145,6 +243,11 @@ def analyze(N: int, Ap: np.ndarray, Ai: np.ndarray,
     cols = row_patterns(N, Pp, Pi, parent)
 
     sn_starts, col2sn = find_supernodes(parent, colcount, relax)
+    if relax:
+        sn_starts = amalgamate(N, sn_starts, cols, relax=relax)
+        col2sn = np.zeros(N, dtype=np.int64)
+        for s in range(sn_starts.shape[0] - 1):
+            col2sn[sn_starts[s]: sn_starts[s + 1]] = s
     ns = sn_starts.shape[0] - 1
 
     # supernode row structure = union of member column structures minus
