@@ -95,3 +95,36 @@ def test_mindeg_reduces_fill():
     f_nat = fill(np.arange(N))
     f_md = fill(None)
     assert f_md <= f_nat * 1.1
+
+
+def test_amalgamation_widens_separator_supernodes():
+    """Dissection orderings give nearly every separator column extra
+    etree children, so fundamental supernodes are width-1 there; the
+    relaxed amalgamation pass must still produce wide panels and a
+    shallow level schedule (pre-amalgamation: a 20x20 grid KKT had
+    ~N/3 levels of width-1 supernodes)."""
+    k = 20
+    n = k * k
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (k, k))
+    P = (sp.kron(sp.eye(k), T) + sp.kron(T, sp.eye(k)) + sp.eye(n)).tocsc()
+    A = sp.vstack([sp.csr_matrix(np.ones((1, n))), -sp.eye(n)]).tocsc()
+    m = n + 1
+    N = n + m
+    K = sp.bmat([[P, A.T], [None, -sp.eye(m)]], format="csc")
+    Ap, Ai = _upper_csc(K)
+    nd = ss.nested_dissection(N, Ap, Ai)
+    plan = ss.analyze(N, Ap, Ai, order=nd)
+
+    widths = np.diff(plan.sn_starts)
+    assert widths.max() >= 8, widths.max()
+    # mean width over the non-leaf supernodes must be » 1
+    assert widths.mean() > 2.0, widths.mean()
+    assert len(plan.levels) < N // 10, len(plan.levels)
+    # containment invariant survives amalgamation
+    for s in range(plan.ns):
+        p = plan.sn_parent[s]
+        if p == -1:
+            continue
+        pcols = set(range(plan.sn_starts[p], plan.sn_starts[p + 1]))
+        pfront = pcols | set(plan.sn_rows[p].tolist())
+        assert set(plan.sn_rows[s].tolist()) <= pfront, (s, p)
