@@ -35,23 +35,37 @@ from .sparse_symbolic import SymbolicPlan, analyze
 
 @dataclasses.dataclass
 class _LevelPlan:
+    """Blocked-front layout: per level the device holds the PANEL
+    Fp (k, fmax, wmax) — all rows of the columns being eliminated —
+    and the trailing block F22 (k, rmax, rmax); the F12 mirror of a
+    full square front is never materialized (the elimination reads
+    only the panel; the Schur update is L21 D L21^T from the panel)."""
+
     snodes: np.ndarray      # snode ids in this level (k,)
     wmax: int               # padded panel width
     fmax: int               # padded front size (wmax + rmax)
-    # assembly: K values -> front slots
-    k_src: np.ndarray       # indices into Kv
-    k_dst: np.ndarray       # flat indices into (k, fmax, fmax)
-    # assembly: child update buffer -> front slots
-    u_src: np.ndarray       # indices into ubuf
-    u_dst: np.ndarray
+    # assembly: K values -> panel / F22 slots
+    kp_src: np.ndarray      # indices into Kv
+    kp_dst: np.ndarray      # flat indices into (k, fmax, wmax)
+    k2_src: np.ndarray
+    k2_dst: np.ndarray      # flat indices into (k, rmax, rmax)
+    # assembly: child update buffer -> panel / F22 slots
+    up_src: np.ndarray      # indices into ubuf
+    up_dst: np.ndarray
+    u2_src: np.ndarray
+    u2_dst: np.ndarray
     # per-front-column global column id (or -1 padding)
     col_gid: np.ndarray     # (k, wmax)
     dsign: np.ndarray       # (k, wmax) signs for regularization
-    # update write-back: front slots -> ubuf positions
-    w_src: np.ndarray       # flat indices into (k, fmax, fmax)
+    # update write-back: F22 slots -> ubuf positions
+    w_src: np.ndarray       # flat indices into (k, rmax, rmax)
     w_dst: np.ndarray       # indices into ubuf
     # solve maps: global row index per front slot (k, fmax); padding -> N
     gidx: np.ndarray
+
+    @property
+    def rmax(self) -> int:
+        return self.fmax - self.wmax
 
 
 @dataclasses.dataclass
@@ -69,22 +83,20 @@ class NumericPlan:
         SIGKILLed remote compile at a 9 MB MLIR module)."""
         bufs = {"perm": self.sym.perm, "iperm": self.sym.iperm}
         for i, lp in enumerate(self.levels):
-            fmax, wmax = lp.fmax, lp.wmax
-            bufs[f"l{i}_ksrc"] = lp.k_src
-            bufs[f"l{i}_kdst"] = lp.k_dst
-            bufs[f"l{i}_usrc"] = lp.u_src
-            bufs[f"l{i}_udst"] = lp.u_dst
+            bufs[f"l{i}_kpsrc"] = lp.kp_src
+            bufs[f"l{i}_kpdst"] = lp.kp_dst
+            bufs[f"l{i}_k2src"] = lp.k2_src
+            bufs[f"l{i}_k2dst"] = lp.k2_dst
+            bufs[f"l{i}_upsrc"] = lp.up_src
+            bufs[f"l{i}_updst"] = lp.up_dst
+            bufs[f"l{i}_u2src"] = lp.u2_src
+            bufs[f"l{i}_u2dst"] = lp.u2_dst
             bufs[f"l{i}_wsrc"] = lp.w_src
             bufs[f"l{i}_wdst"] = lp.w_dst
             bufs[f"l{i}_gidx"] = lp.gidx
             bufs[f"l{i}_cg"] = np.where(lp.col_gid < 0, self.N, lp.col_gid)
-            bufs[f"l{i}_dsign"] = np.pad(
-                lp.dsign, ((0, 0), (0, fmax - wmax)), constant_values=1.0
-            )
-            bufs[f"l{i}_pad"] = np.pad(
-                (lp.col_gid < 0).astype(np.float64),
-                ((0, 0), (0, fmax - wmax)),
-            )
+            bufs[f"l{i}_dsign"] = lp.dsign
+            bufs[f"l{i}_pad"] = (lp.col_gid < 0).astype(np.float64)
         return bufs
 
 
@@ -133,8 +145,11 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
         rmax = max(rlens) if rlens else 0
         fmax = wmax + rmax
 
-        k_src, k_dst = [], []
-        u_src, u_dst = [], []
+        rmax = fmax - wmax
+        kp_src, kp_dst = [], []
+        k2_src, k2_dst = [], []
+        up_src, up_dst = [], []
+        u2_src, u2_dst = [], []
         w_src, w_dst = [], []
         col_gid = np.full((k, wmax), -1, dtype=np.int64)
         dsign = np.ones((k, wmax), dtype=np.float64)
@@ -155,15 +170,29 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
             col_gid[fi, :w] = np.arange(c0, c0 + w)
             dsign[fi, :w] = ds_perm[c0: c0 + w]
 
-            base = fi * fmax * fmax
-            # K entries
+            base_p = fi * fmax * wmax
+            base_2 = fi * rmax * rmax
+
+            def emit(src, li, lj, psrc, pdst, s2src, s2dst):
+                """Route one (row li, col lj) slot: panel if the column
+                is eliminated here, F22 if both are trailing rows; the
+                F12 mirror (panel row, trailing col) is never read by
+                the blocked elimination and is dropped."""
+                if lj < wmax:
+                    psrc.append(src)
+                    pdst.append(base_p + li * wmax + lj)
+                elif li >= wmax:
+                    s2src.append(src)
+                    s2dst.append(base_2 + (li - wmax) * rmax
+                                 + (lj - wmax))
+
+            # K entries (both mirrors so the panel's diagonal block is
+            # held full-symmetric, as the rank-1 elimination expects)
             for (p, i, j) in ent_by_sn[s]:
                 li, lj = slot(i), slot(j)
-                k_src.append(p)
-                k_dst.append(base + li * fmax + lj)
+                emit(p, li, lj, kp_src, kp_dst, k2_src, k2_dst)
                 if li != lj:
-                    k_src.append(p)
-                    k_dst.append(base + lj * fmax + li)
+                    emit(p, lj, li, kp_src, kp_dst, k2_src, k2_dst)
             # children updates (vectorized: these maps are r^2-sized and
             # dominate host planning time/memory at large N)
             for c in np.nonzero(sym.sn_parent == s)[0]:
@@ -171,17 +200,21 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
                 rc = len(rows_c)
                 slots = np.asarray([slot(g) for g in rows_c],
                                    dtype=np.int64)
-                u_src.append(int(uoff[c]) + np.arange(rc * rc,
-                                                      dtype=np.int64))
-                u_dst.append(
-                    (base + slots[:, None] * fmax
-                     + slots[None, :]).ravel()
-                )
-            # update write-back (rows block after elimination)
+                csrc = int(uoff[c]) + np.arange(rc * rc, dtype=np.int64)
+                dst_li = np.repeat(slots, rc)
+                dst_lj = np.tile(slots, rc)
+                in_panel = dst_lj < wmax
+                in_f22 = (~in_panel) & (dst_li >= wmax)
+                up_src.append(csrc[in_panel])
+                up_dst.append(base_p + dst_li[in_panel] * wmax
+                              + dst_lj[in_panel])
+                u2_src.append(csrc[in_f22])
+                u2_dst.append(base_2 + (dst_li[in_f22] - wmax) * rmax
+                              + (dst_lj[in_f22] - wmax))
+            # update write-back (F22 after the Schur update)
             rr = np.arange(r, dtype=np.int64)
             w_src.append(
-                (base + (wmax + rr)[:, None] * fmax
-                 + (wmax + rr)[None, :]).ravel()
+                (base_2 + rr[:, None] * rmax + rr[None, :]).ravel()
             )
             w_dst.append(int(uoff[s]) + np.arange(r * r, dtype=np.int64))
 
@@ -194,10 +227,14 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
         level_plans.append(_LevelPlan(
             snodes=np.asarray(lev_sns, dtype=np.int64),
             wmax=wmax, fmax=fmax,
-            k_src=np.asarray(k_src, dtype=np.int64),
-            k_dst=np.asarray(k_dst, dtype=np.int64),
-            u_src=_cat(u_src),
-            u_dst=_cat(u_dst),
+            kp_src=np.asarray(kp_src, dtype=np.int64),
+            kp_dst=np.asarray(kp_dst, dtype=np.int64),
+            k2_src=np.asarray(k2_src, dtype=np.int64),
+            k2_dst=np.asarray(k2_dst, dtype=np.int64),
+            up_src=_cat(up_src),
+            up_dst=_cat(up_dst),
+            u2_src=_cat(u2_src),
+            u2_dst=_cat(u2_dst),
             col_gid=col_gid, dsign=dsign,
             w_src=_cat(w_src),
             w_dst=_cat(w_dst),
@@ -225,51 +262,76 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
 
     for i, lp in enumerate(plan.levels):
         k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
-        F = jnp.zeros(k * fmax * fmax, dtype=Kv.dtype)
-        F = F.at[bufs[f"l{i}_kdst"]].add(Kv[bufs[f"l{i}_ksrc"]])
-        if lp.u_src.size:
-            F = F.at[bufs[f"l{i}_udst"]].add(ubuf[bufs[f"l{i}_usrc"]])
-        F = F.reshape(k, fmax, fmax)
+        rmax = fmax - wmax
+        # assemble the panel (all rows x eliminated columns) and the
+        # trailing F22 block; the F12 mirror is never materialized
+        Fp = jnp.zeros(k * fmax * wmax, dtype=Kv.dtype)
+        Fp = Fp.at[bufs[f"l{i}_kpdst"]].add(Kv[bufs[f"l{i}_kpsrc"]])
+        if lp.up_src.size:
+            Fp = Fp.at[bufs[f"l{i}_updst"]].add(ubuf[bufs[f"l{i}_upsrc"]])
+        Fp = Fp.reshape(k, fmax, wmax)
         # identity-pad the unused column slots
         if (lp.col_gid < 0).any():
-            F = F + jax.vmap(jnp.diag)(bufs[f"l{i}_pad"]).astype(Kv.dtype)
+            Fp = Fp + (
+                bufs[f"l{i}_pad"][:, None, :]
+                * jnp.eye(fmax, wmax, dtype=Kv.dtype)
+            ).astype(Kv.dtype)
 
-        # masked fori_loop elimination: constant IR per level so deep
-        # level schedules stay compile-friendly
+        # masked fori_loop elimination restricted to the panel: each
+        # rank-1 update touches (k, fmax, wmax) instead of the full
+        # square front; constant IR per level so deep level schedules
+        # stay compile-friendly
         dsign = bufs[f"l{i}_dsign"].astype(Kv.dtype)
-        iota = jnp.arange(fmax)
+        gtw = jnp.arange(wmax)
 
         def elim_body(j, carry):
-            F, ok = carry
-            dj = F[:, j, j]
+            Fp, ok = carry
+            dj = Fp[:, j, j]
             if reg_enable:
                 bad = (dj == 0.0) | (dsign[:, j] * dj < eps)
                 dj = jnp.where(bad, dsign[:, j] * delta, dj)
             ok = ok & jnp.all(dj != 0.0)
             dinv = 1.0 / dj
-            col = F[:, :, j]
+            col = Fp[:, :, j]                      # (k, fmax)
             lcol = col * dinv[:, None]
-            gt = (iota > j).astype(Kv.dtype)
-            F = F - col[:, :, None] * (lcol * gt)[:, None, :]
+            gt = (gtw > j).astype(Kv.dtype)
+            Fp = Fp - col[:, :, None] * (lcol[:, :wmax] * gt)[:, None, :]
             newcol = lcol.at[:, j].set(dj)  # D kept on the diagonal slot
-            F = F.at[:, :, j].set(newcol)
-            return F, ok
+            Fp = Fp.at[:, :, j].set(newcol)
+            return Fp, ok
 
-        F, ok = jax.lax.fori_loop(0, wmax, elim_body, (F, ok))
+        Fp, ok = jax.lax.fori_loop(0, wmax, elim_body, (Fp, ok))
         # write D^{-1} for the real columns
         cg = bufs[f"l{i}_cg"]
-        dvals = 1.0 / jax.vmap(jnp.diag)(F)[:, :wmax]
+        dvals = 1.0 / Fp[:, gtw, gtw]
         Dinv = Dinv.at[cg.ravel()].set(dvals.ravel())
-        # update write-back
-        if lp.w_src.size:
-            ubuf = ubuf.at[bufs[f"l{i}_wdst"]].set(
-                F.reshape(-1)[bufs[f"l{i}_wsrc"]]
+        if rmax:
+            # Schur complement in ONE batched matmul (MXU work; the
+            # old full-front path did this as wmax rank-1 VPU sweeps):
+            # F22 -= L21 D L21^T with L21 = panel rows, D = panel diag
+            F2 = jnp.zeros(k * rmax * rmax, dtype=Kv.dtype)
+            if lp.k2_src.size:
+                F2 = F2.at[bufs[f"l{i}_k2dst"]].add(
+                    Kv[bufs[f"l{i}_k2src"]]
+                )
+            if lp.u2_src.size:
+                F2 = F2.at[bufs[f"l{i}_u2dst"]].add(
+                    ubuf[bufs[f"l{i}_u2src"]]
+                )
+            F2 = F2.reshape(k, rmax, rmax)
+            L21 = Fp[:, wmax:, :]                  # (k, rmax, wmax)
+            d = Fp[:, gtw, gtw]                    # (k, wmax)
+            F2 = F2 - jnp.einsum(
+                "krw,kw,ksw->krs", L21, d, L21,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        # keep only the eliminated panel: the solves read columns
-        # < wmax exclusively, and the trailing (r, r) block just went
-        # into ubuf — storing full squares held ~fmax/wmax times more
-        # memory and is what blew HBM at N ~ 20k
-        fronts_out.append(F[:, :, :wmax])
+            if lp.w_src.size:
+                ubuf = ubuf.at[bufs[f"l{i}_wdst"]].set(
+                    F2.reshape(-1)[bufs[f"l{i}_wsrc"]]
+                )
+        # keep only the eliminated panel: the solves read it
+        # exclusively, and the trailing block just went into ubuf
+        fronts_out.append(Fp)
 
     ok = ok & jnp.all(jnp.isfinite(Dinv))
     return {"fronts": fronts_out, "Dinv": Dinv}, ok
@@ -280,24 +342,30 @@ def solve(plan: NumericPlan, fac, b, bufs):
     N = plan.N
     x = jnp.concatenate([b[bufs["perm"]], jnp.zeros(1, b.dtype)])
 
-    # forward: (L + I) y = b, leaves -> roots
+    # forward: (L + I) y = b, leaves -> roots.  Per level: a wmax-step
+    # substitution on the (k, wmax) diagonal block, then ONE batched
+    # matvec applies all trailing-row updates (the old path swept the
+    # full (k, fmax) front every step)
     for i, (lp, F) in enumerate(zip(plan.levels, fac["fronts"])):
         k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
         g = bufs[f"l{i}_gidx"]
-        iota = jnp.arange(fmax)
-        xf = x[g]  # (k, fmax)
+        iota = jnp.arange(wmax)
+        x1 = x[g[:, :wmax]]                    # (k, wmax)
+        L11 = F[:, :wmax, :]
 
-        def fwd_body(j, xf):
-            gt = (iota > j).astype(xf.dtype)
-            return xf - (F[:, :, j] * gt[None, :]) * xf[:, j][:, None]
+        def fwd_body(j, x1):
+            gt = (iota > j).astype(x1.dtype)
+            return x1 - (L11[:, :, j] * gt[None, :]) * x1[:, j][:, None]
 
-
-        xf = jax.lax.fori_loop(0, wmax, fwd_body, xf)
-        # columns: overwrite; rows: accumulate the delta
+        x1 = jax.lax.fori_loop(0, wmax, fwd_body, x1)
         cg = bufs[f"l{i}_cg"]
-        x = x.at[cg.ravel()].set(xf[:, :wmax].ravel())
-        delta = xf[:, wmax:] - x[g[:, wmax:]]
-        x = x.at[g[:, wmax:].ravel()].add(delta.ravel())
+        x = x.at[cg.ravel()].set(x1.ravel())
+        if fmax > wmax:
+            delta = -jnp.einsum(
+                "krw,kw->kr", F[:, wmax:, :], x1,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            x = x.at[g[:, wmax:].ravel()].add(delta.ravel())
 
     # diagonal
     x = x * fac["Dinv"]
@@ -310,18 +378,25 @@ def solve(plan: NumericPlan, fac, b, bufs):
         i = nlev - 1 - ir
         k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
         g = bufs[f"l{i}_gidx"]
-        iota = jnp.arange(fmax)
-        xf = x[g]
+        iota = jnp.arange(wmax)
+        x1 = x[g[:, :wmax]]
+        L11 = F[:, :wmax, :]
+        if fmax > wmax:
+            x2 = x[g[:, wmax:]]
+            x1 = x1 - jnp.einsum(
+                "krw,kr->kw", F[:, wmax:, :], x2,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-        def bwd_body(jj, xf):
+        def bwd_body(jj, x1):
             j = wmax - 1 - jj
-            gt = (iota > j).astype(xf.dtype)
-            dot = jnp.sum((F[:, :, j] * gt[None, :]) * xf, axis=1)
-            return xf.at[:, j].add(-dot)
+            gt = (iota > j).astype(x1.dtype)
+            dot = jnp.sum((L11[:, :, j] * gt[None, :]) * x1, axis=1)
+            return x1.at[:, j].add(-dot)
 
-        xf = jax.lax.fori_loop(0, wmax, bwd_body, xf)
+        x1 = jax.lax.fori_loop(0, wmax, bwd_body, x1)
         cg = bufs[f"l{i}_cg"]
-        x = x.at[cg.ravel()].set(xf[:, :wmax].ravel())
+        x = x.at[cg.ravel()].set(x1.ravel())
 
     return x[:N][bufs["iperm"]]
 
