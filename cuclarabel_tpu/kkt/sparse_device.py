@@ -11,16 +11,28 @@ backend, directldl_qdldl.jl:10-96).  Design:
     index maps over the K values and the child-update buffer), then a
     batched dense partial-LDL^T with signed dynamic regularization
     (QDLDL semantics, directldl_qdldl.jl:18-25) eliminates the panel
-    columns, and the Schur updates are written back to the flat update
-    buffer;
+    columns, and the Schur complement goes through ONE batched matmul
+    into the flat update buffer;
   * triangular solves walk the levels with static gather/scatter-add.
 
-Supernode widths are capped (panel splitting in the symbolic phase
-caller) so the unrolled elimination stays compile-friendly; fronts in a
-level are padded to the level's max (identity columns eliminate as
-no-ops).  Everything data-dependent is per-value only — the whole
-control structure is baked at trace time, which is exactly what XLA
-wants.
+Blocked-front layout: per level the device holds the PANEL
+Fp (k, fmax, wmax) — all rows of the columns being eliminated — and
+the trailing block F22 (k, rmax, rmax); the F12 mirror of a full
+square front is never materialized (the elimination reads only the
+panel; the Schur update is L21 D L21^T from the panel).
+
+Compile-time structure: consecutive levels are partitioned into a few
+GROUPS of a common padded shape (a small DP balances padding waste
+against per-group compile cost) and each group executes as ONE
+`lax.scan` over its stacked index maps — the level-step body is
+compiled once per group instead of once per level.  Without this the
+35-level schedule of a 20k-variable grid KKT emitted 35 distinct
+assembly/elimination/solve subprograms and took ~1000 s through the
+remote TPU compile helper.  Supernode widths are capped (panel
+splitting in the symbolic phase caller); padded fronts/columns are
+identity no-ops.  Everything data-dependent is per-value only — the
+whole control structure is baked at trace time, which is exactly what
+XLA wants.
 """
 
 import dataclasses
@@ -34,44 +46,48 @@ from .sparse_symbolic import SymbolicPlan, analyze
 
 
 @dataclasses.dataclass
-class _LevelPlan:
-    """Blocked-front layout: per level the device holds the PANEL
-    Fp (k, fmax, wmax) — all rows of the columns being eliminated —
-    and the trailing block F22 (k, rmax, rmax); the F12 mirror of a
-    full square front is never materialized (the elimination reads
-    only the panel; the Schur update is L21 D L21^T from the panel)."""
+class _GroupPlan:
+    """A contiguous run of levels sharing one padded shape; all member
+    arrays are stacked with leading dim nl = hi - lo."""
 
-    snodes: np.ndarray      # snode ids in this level (k,)
-    wmax: int               # padded panel width
-    fmax: int               # padded front size (wmax + rmax)
-    # assembly: K values -> panel / F22 slots
-    kp_src: np.ndarray      # indices into Kv
-    kp_dst: np.ndarray      # flat indices into (k, fmax, wmax)
+    lo: int
+    hi: int
+    kq: int                 # padded front count per level
+    fq: int                 # padded front size (kq fronts of fq rows)
+    wq: int                 # padded panel width
+    # assembly: K values -> panel / F22 slots (nl, Lmax) each,
+    # padded with src=0 / dst=trash
+    kp_src: np.ndarray
+    kp_dst: np.ndarray
     k2_src: np.ndarray
-    k2_dst: np.ndarray      # flat indices into (k, rmax, rmax)
+    k2_dst: np.ndarray
     # assembly: child update buffer -> panel / F22 slots
-    up_src: np.ndarray      # indices into ubuf
+    up_src: np.ndarray
     up_dst: np.ndarray
     u2_src: np.ndarray
     u2_dst: np.ndarray
-    # per-front-column global column id (or -1 padding)
-    col_gid: np.ndarray     # (k, wmax)
-    dsign: np.ndarray       # (k, wmax) signs for regularization
     # update write-back: F22 slots -> ubuf positions
-    w_src: np.ndarray       # flat indices into (k, rmax, rmax)
-    w_dst: np.ndarray       # indices into ubuf
-    # solve maps: global row index per front slot (k, fmax); padding -> N
-    gidx: np.ndarray
+    w_src: np.ndarray
+    w_dst: np.ndarray
+    # per-level per-front-column metadata
+    cg: np.ndarray          # (nl, kq*wq) global col ids; padding -> N
+    dsign: np.ndarray       # (nl, kq, wq) signs; padding -> +1
+    pad: np.ndarray         # (nl, kq, wq) 1.0 on identity-pad columns
+    gidx: np.ndarray        # (nl, kq, fq) global row ids; padding -> N
 
     @property
-    def rmax(self) -> int:
-        return self.fmax - self.wmax
+    def nl(self) -> int:
+        return self.hi - self.lo
+
+    @property
+    def rq(self) -> int:
+        return self.fq - self.wq
 
 
 @dataclasses.dataclass
 class NumericPlan:
     sym: SymbolicPlan
-    levels: List[_LevelPlan]
+    groups: List[_GroupPlan]
     ubuf_size: int
     N: int
 
@@ -82,32 +98,61 @@ class NumericPlan:
         them into the program text OOMs the compiler (observed
         SIGKILLed remote compile at a 9 MB MLIR module)."""
         bufs = {"perm": self.sym.perm, "iperm": self.sym.iperm}
-        for i, lp in enumerate(self.levels):
-            bufs[f"l{i}_kpsrc"] = lp.kp_src
-            bufs[f"l{i}_kpdst"] = lp.kp_dst
-            bufs[f"l{i}_k2src"] = lp.k2_src
-            bufs[f"l{i}_k2dst"] = lp.k2_dst
-            bufs[f"l{i}_upsrc"] = lp.up_src
-            bufs[f"l{i}_updst"] = lp.up_dst
-            bufs[f"l{i}_u2src"] = lp.u2_src
-            bufs[f"l{i}_u2dst"] = lp.u2_dst
-            bufs[f"l{i}_wsrc"] = lp.w_src
-            bufs[f"l{i}_wdst"] = lp.w_dst
-            bufs[f"l{i}_gidx"] = lp.gidx
-            bufs[f"l{i}_cg"] = np.where(lp.col_gid < 0, self.N, lp.col_gid)
-            bufs[f"l{i}_dsign"] = lp.dsign
-            bufs[f"l{i}_pad"] = (lp.col_gid < 0).astype(np.float64)
+        for i, gp in enumerate(self.groups):
+            for name in ("kp_src", "kp_dst", "k2_src", "k2_dst",
+                         "up_src", "up_dst", "u2_src", "u2_dst",
+                         "w_src", "w_dst", "cg", "dsign", "pad",
+                         "gidx"):
+                bufs[f"g{i}_{name}"] = getattr(gp, name)
         return bufs
 
 
-def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
+def _choose_groups(shapes, lam=200_000):
+    """Optimal contiguous partition of levels into groups, minimizing
+    padded work + map memory + lam per group (lam models the per-body
+    compile cost).  shapes: list of (k, w, r, maplens-tuple)."""
+    n = len(shapes)
+    if n == 0:
+        return []
+
+    def cost(i, j):
+        kq = max(s[0] for s in shapes[i:j])
+        wq = max(s[1] for s in shapes[i:j])
+        rq = max(s[2] for s in shapes[i:j])
+        mlen = sum(
+            max(s[3][t] for s in shapes[i:j])
+            for t in range(len(shapes[i][3]))
+        )
+        return (j - i) * (kq * (wq + rq) * wq + kq * rq * rq // 4
+                          + mlen)
+
+    best = [0.0] * (n + 1)
+    prev = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best[j] = float("inf")
+        for i in range(j):
+            c = best[i] + cost(i, j) + lam
+            if c < best[j]:
+                best[j] = c
+                prev[j] = i
+    bounds = []
+    j = n
+    while j > 0:
+        i = prev[j]
+        bounds.append((i, j))
+        j = i
+    return list(reversed(bounds))
+
+
+def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
+                       group_lambda: int = 200_000) -> NumericPlan:
     """dsigns: (N,) quasidefinite signs in the ORIGINAL ordering."""
     N = sym.N
     ds_perm = np.asarray(dsigns, dtype=np.float64)[sym.perm]
 
     # global front-local index lookup per snode
     sn_front: List[np.ndarray] = []
-    sn_pos = {}  # (snode, global idx) -> local slot
+    sn_pos = {}  # (snode, global idx) -> position within the front ids
     for s in range(sym.ns):
         c0, c1 = int(sym.sn_starts[s]), int(sym.sn_starts[s + 1])
         idx = np.concatenate([
@@ -136,112 +181,170 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
             s = int(col2sn[i])
             ent_by_sn[s].append((p, i, j))
 
-    level_plans: List[_LevelPlan] = []
-    for lev_sns in sym.levels:
-        k = len(lev_sns)
+    # ---- per-level raw shapes + map lengths for the grouping DP ----
+    def _lev_shape(lev_sns):
         widths = [sym.front_width(int(s)) for s in lev_sns]
         rlens = [len(sym.sn_rows[int(s)]) for s in lev_sns]
-        wmax = max(widths)
-        rmax = max(rlens) if rlens else 0
-        fmax = wmax + rmax
-
-        rmax = fmax - wmax
-        kp_src, kp_dst = [], []
-        k2_src, k2_dst = [], []
-        up_src, up_dst = [], []
-        u2_src, u2_dst = [], []
-        w_src, w_dst = [], []
-        col_gid = np.full((k, wmax), -1, dtype=np.int64)
-        dsign = np.ones((k, wmax), dtype=np.float64)
-        gidx = np.full((k, fmax), N, dtype=np.int64)
-
-        for fi, s in enumerate(int(x) for x in lev_sns):
+        nkp = nk2 = nup = nu2 = nw = 0
+        for s in (int(x) for x in lev_sns):
             w = sym.front_width(s)
-            r = len(sym.sn_rows[s])
-            c0 = int(sym.sn_starts[s])
-            # local slot of global g within the PADDED front
-            def slot(g):
-                t = sn_pos[(s, int(g))]
-                return t if t < w else wmax + (t - w)
-
-            front_ids = sn_front[s]
-            for t, g in enumerate(front_ids):
-                gidx[fi, slot(g)] = int(g)
-            col_gid[fi, :w] = np.arange(c0, c0 + w)
-            dsign[fi, :w] = ds_perm[c0: c0 + w]
-
-            base_p = fi * fmax * wmax
-            base_2 = fi * rmax * rmax
-
-            def emit(src, li, lj, psrc, pdst, s2src, s2dst):
-                """Route one (row li, col lj) slot: panel if the column
-                is eliminated here, F22 if both are trailing rows; the
-                F12 mirror (panel row, trailing col) is never read by
-                the blocked elimination and is dropped."""
-                if lj < wmax:
-                    psrc.append(src)
-                    pdst.append(base_p + li * wmax + lj)
-                elif li >= wmax:
-                    s2src.append(src)
-                    s2dst.append(base_2 + (li - wmax) * rmax
-                                 + (lj - wmax))
-
-            # K entries (both mirrors so the panel's diagonal block is
-            # held full-symmetric, as the rank-1 elimination expects)
-            for (p, i, j) in ent_by_sn[s]:
-                li, lj = slot(i), slot(j)
-                emit(p, li, lj, kp_src, kp_dst, k2_src, k2_dst)
-                if li != lj:
-                    emit(p, lj, li, kp_src, kp_dst, k2_src, k2_dst)
-            # children updates (vectorized: these maps are r^2-sized and
-            # dominate host planning time/memory at large N)
+            for (_, i, j) in ent_by_sn[s]:
+                # upper bound: both mirrors could land in the panel
+                nkp += 2
             for c in np.nonzero(sym.sn_parent == s)[0]:
-                rows_c = sym.sn_rows[int(c)]
-                rc = len(rows_c)
-                slots = np.asarray([slot(g) for g in rows_c],
-                                   dtype=np.int64)
-                csrc = int(uoff[c]) + np.arange(rc * rc, dtype=np.int64)
-                dst_li = np.repeat(slots, rc)
-                dst_lj = np.tile(slots, rc)
-                in_panel = dst_lj < wmax
-                in_f22 = (~in_panel) & (dst_li >= wmax)
-                up_src.append(csrc[in_panel])
-                up_dst.append(base_p + dst_li[in_panel] * wmax
-                              + dst_lj[in_panel])
-                u2_src.append(csrc[in_f22])
-                u2_dst.append(base_2 + (dst_li[in_f22] - wmax) * rmax
-                              + (dst_lj[in_f22] - wmax))
-            # update write-back (F22 after the Schur update)
-            rr = np.arange(r, dtype=np.int64)
-            w_src.append(
-                (base_2 + rr[:, None] * rmax + rr[None, :]).ravel()
-            )
-            w_dst.append(int(uoff[s]) + np.arange(r * r, dtype=np.int64))
+                rc = len(sym.sn_rows[int(c)])
+                nup += rc * rc
+            nw += len(sym.sn_rows[s]) ** 2
+        nk2 = nkp
+        nu2 = nup
+        return (len(lev_sns), max(widths),
+                max(rlens) if rlens else 0,
+                (nkp, nk2, nup, nu2, nw))
 
-        def _cat(parts):
-            return (
-                np.concatenate(parts) if parts
-                else np.zeros(0, dtype=np.int64)
-            )
+    shapes = [_lev_shape(ls) for ls in sym.levels]
+    bounds = _choose_groups(shapes, lam=group_lambda)
 
-        level_plans.append(_LevelPlan(
-            snodes=np.asarray(lev_sns, dtype=np.int64),
-            wmax=wmax, fmax=fmax,
-            kp_src=np.asarray(kp_src, dtype=np.int64),
-            kp_dst=np.asarray(kp_dst, dtype=np.int64),
-            k2_src=np.asarray(k2_src, dtype=np.int64),
-            k2_dst=np.asarray(k2_dst, dtype=np.int64),
-            up_src=_cat(up_src),
-            up_dst=_cat(up_dst),
-            u2_src=_cat(u2_src),
-            u2_dst=_cat(u2_dst),
-            col_gid=col_gid, dsign=dsign,
-            w_src=_cat(w_src),
-            w_dst=_cat(w_dst),
-            gidx=gidx,
+    groups: List[_GroupPlan] = []
+    for (glo, ghi) in bounds:
+        kq = max(shapes[l][0] for l in range(glo, ghi))
+        wq = max(shapes[l][1] for l in range(glo, ghi))
+        rq = max(shapes[l][2] for l in range(glo, ghi))
+        fq = wq + rq
+        trash_p = kq * fq * wq
+        trash_2 = kq * rq * rq
+
+        per_level = {name: [] for name in (
+            "kp_src", "kp_dst", "k2_src", "k2_dst", "up_src", "up_dst",
+            "u2_src", "u2_dst", "w_src", "w_dst")}
+        cg_all, dsign_all, pad_all, gidx_all = [], [], [], []
+
+        for l in range(glo, ghi):
+            lev_sns = sym.levels[l]
+            kp_src, kp_dst = [], []
+            k2_src, k2_dst = [], []
+            up_src, up_dst = [], []
+            u2_src, u2_dst = [], []
+            w_src, w_dst = [], []
+            col_gid = np.full((kq, wq), -1, dtype=np.int64)
+            dsign = np.ones((kq, wq), dtype=np.float64)
+            gidx = np.full((kq, fq), N, dtype=np.int64)
+
+            for fi, s in enumerate(int(x) for x in lev_sns):
+                w = sym.front_width(s)
+                c0 = int(sym.sn_starts[s])
+
+                # local slot of global g within the PADDED front
+                def slot(g):
+                    t = sn_pos[(s, int(g))]
+                    return t if t < w else wq + (t - w)
+
+                for t, g in enumerate(sn_front[s]):
+                    gidx[fi, slot(g)] = int(g)
+                col_gid[fi, :w] = np.arange(c0, c0 + w)
+                dsign[fi, :w] = ds_perm[c0: c0 + w]
+
+                base_p = fi * fq * wq
+                base_2 = fi * rq * rq
+
+                def emit(src, li, lj):
+                    """Route one (row li, col lj) slot: panel if the
+                    column is eliminated here, F22 if both are trailing
+                    rows; the F12 mirror (panel row, trailing col) is
+                    never read by the blocked elimination — dropped."""
+                    if lj < wq:
+                        kp_src.append(src)
+                        kp_dst.append(base_p + li * wq + lj)
+                    elif li >= wq:
+                        k2_src.append(src)
+                        k2_dst.append(base_2 + (li - wq) * rq
+                                      + (lj - wq))
+
+                # K entries (both mirrors so the panel's diagonal block
+                # is held full-symmetric for the rank-1 elimination)
+                for (p, i, j) in ent_by_sn[s]:
+                    li, lj = slot(i), slot(j)
+                    emit(p, li, lj)
+                    if li != lj:
+                        emit(p, lj, li)
+                # children updates (vectorized: r^2-sized, dominate
+                # host planning time at large N)
+                for c in np.nonzero(sym.sn_parent == s)[0]:
+                    rows_c = sym.sn_rows[int(c)]
+                    rc = len(rows_c)
+                    slots = np.asarray([slot(g) for g in rows_c],
+                                       dtype=np.int64)
+                    csrc = int(uoff[c]) + np.arange(rc * rc,
+                                                    dtype=np.int64)
+                    dst_li = np.repeat(slots, rc)
+                    dst_lj = np.tile(slots, rc)
+                    in_panel = dst_lj < wq
+                    in_f22 = (~in_panel) & (dst_li >= wq)
+                    up_src.append(csrc[in_panel])
+                    up_dst.append(base_p + dst_li[in_panel] * wq
+                                  + dst_lj[in_panel])
+                    u2_src.append(csrc[in_f22])
+                    u2_dst.append(base_2 + (dst_li[in_f22] - wq) * rq
+                                  + (dst_lj[in_f22] - wq))
+                # update write-back (F22 after the Schur update)
+                r = len(sym.sn_rows[s])
+                rr = np.arange(r, dtype=np.int64)
+                w_src.append(
+                    (base_2 + rr[:, None] * rq + rr[None, :]).ravel()
+                )
+                w_dst.append(int(uoff[s])
+                             + np.arange(r * r, dtype=np.int64))
+
+            def _cat(parts):
+                return (
+                    np.concatenate(parts) if len(parts)
+                    else np.zeros(0, dtype=np.int64)
+                )
+
+            per_level["kp_src"].append(np.asarray(kp_src, np.int64))
+            per_level["kp_dst"].append(np.asarray(kp_dst, np.int64))
+            per_level["k2_src"].append(np.asarray(k2_src, np.int64))
+            per_level["k2_dst"].append(np.asarray(k2_dst, np.int64))
+            per_level["up_src"].append(_cat(up_src))
+            per_level["up_dst"].append(_cat(up_dst))
+            per_level["u2_src"].append(_cat(u2_src))
+            per_level["u2_dst"].append(_cat(u2_dst))
+            per_level["w_src"].append(_cat(w_src))
+            per_level["w_dst"].append(_cat(w_dst))
+            cg_all.append(np.where(col_gid < 0, N, col_gid)
+                          .reshape(-1))
+            dsign_all.append(dsign)
+            pad_all.append((col_gid < 0).astype(np.float64))
+            gidx_all.append(gidx)
+
+        # pad ragged maps to the group max length; padding entries
+        # read src 0 and write a trash slot
+        def _stack(name, trash):
+            arrs = per_level[name]
+            L = max((a.size for a in arrs), default=0)
+            out = np.full((ghi - glo, L), trash, dtype=np.int64)
+            for t, a in enumerate(arrs):
+                out[t, : a.size] = a
+            return out.astype(np.int32)
+
+        groups.append(_GroupPlan(
+            lo=glo, hi=ghi, kq=kq, fq=fq, wq=wq,
+            kp_src=_stack("kp_src", 0),
+            kp_dst=_stack("kp_dst", trash_p),
+            k2_src=_stack("k2_src", 0),
+            k2_dst=_stack("k2_dst", trash_2),
+            up_src=_stack("up_src", 0),
+            up_dst=_stack("up_dst", trash_p),
+            u2_src=_stack("u2_src", 0),
+            u2_dst=_stack("u2_dst", trash_2),
+            w_src=_stack("w_src", 0),
+            w_dst=_stack("w_dst", ubuf_size),
+            cg=np.stack(cg_all).astype(np.int32),
+            dsign=np.stack(dsign_all),
+            pad=np.stack(pad_all),
+            gidx=np.stack(gidx_all).astype(np.int32),
         ))
 
-    return NumericPlan(sym=sym, levels=level_plans,
+    return NumericPlan(sym=sym, groups=groups,
                        ubuf_size=ubuf_size, N=N)
 
 
@@ -249,154 +352,176 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray) -> NumericPlan:
 # numeric phase (jittable)
 # ---------------------------------------------------------------------
 
+_GNAMES = ("kp_src", "kp_dst", "k2_src", "k2_dst", "up_src", "up_dst",
+           "u2_src", "u2_dst", "w_src", "w_dst", "cg", "dsign", "pad",
+           "gidx")
+
+
+def _group_xs(bufs, gi):
+    return {n: bufs[f"g{gi}_{n}"] for n in _GNAMES}
+
+
 def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
            delta=2e-7):
     """Kv: (nnz,) values of the permuted upper pattern; bufs: the
     device-resident index maps from plan.device_arrays().  Returns
-    (fac, ok): fac holds per-level factored fronts + global Dinv."""
+    (fac, ok): fac holds per-group stacked factored panels + global
+    Dinv.  One `lax.scan` per group: the level step (assembly, blocked
+    elimination, matmul Schur update, write-back) is compiled once per
+    group."""
     N = plan.N
-    ubuf = jnp.zeros(plan.ubuf_size, dtype=Kv.dtype)
+    ubuf = jnp.zeros(plan.ubuf_size + 1, dtype=Kv.dtype)
     Dinv = jnp.zeros(N + 1, dtype=Kv.dtype)
     fronts_out = []
     ok = jnp.asarray(True)
 
-    for i, lp in enumerate(plan.levels):
-        k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
-        rmax = fmax - wmax
-        # assemble the panel (all rows x eliminated columns) and the
-        # trailing F22 block; the F12 mirror is never materialized
-        Fp = jnp.zeros(k * fmax * wmax, dtype=Kv.dtype)
-        Fp = Fp.at[bufs[f"l{i}_kpdst"]].add(Kv[bufs[f"l{i}_kpsrc"]])
-        if lp.up_src.size:
-            Fp = Fp.at[bufs[f"l{i}_updst"]].add(ubuf[bufs[f"l{i}_upsrc"]])
-        Fp = Fp.reshape(k, fmax, wmax)
-        # identity-pad the unused column slots
-        if (lp.col_gid < 0).any():
-            Fp = Fp + (
-                bufs[f"l{i}_pad"][:, None, :]
-                * jnp.eye(fmax, wmax, dtype=Kv.dtype)
-            ).astype(Kv.dtype)
+    for gi, gp in enumerate(plan.groups):
+        kq, fq, wq, rq = gp.kq, gp.fq, gp.wq, gp.rq
+        eye_pw = jnp.eye(fq, wq)
+        gtw = jnp.arange(wq)
 
-        # masked fori_loop elimination restricted to the panel: each
-        # rank-1 update touches (k, fmax, wmax) instead of the full
-        # square front; constant IR per level so deep level schedules
-        # stay compile-friendly
-        dsign = bufs[f"l{i}_dsign"].astype(Kv.dtype)
-        gtw = jnp.arange(wmax)
+        def body(carry, xs, kq=kq, fq=fq, wq=wq, rq=rq,
+                 eye_pw=eye_pw, gtw=gtw):
+            ubuf, Dinv, ok = carry
+            Fp = jnp.zeros(kq * fq * wq + 1, dtype=Kv.dtype)
+            Fp = Fp.at[xs["kp_dst"]].add(Kv[xs["kp_src"]])
+            if xs["up_src"].shape[0]:
+                Fp = Fp.at[xs["up_dst"]].add(ubuf[xs["up_src"]])
+            Fp = Fp[:-1].reshape(kq, fq, wq)
+            # identity-pad the unused column slots
+            Fp = Fp + xs["pad"][:, None, :] * eye_pw.astype(Kv.dtype)
 
-        def elim_body(j, carry):
-            Fp, ok = carry
-            dj = Fp[:, j, j]
-            if reg_enable:
-                bad = (dj == 0.0) | (dsign[:, j] * dj < eps)
-                dj = jnp.where(bad, dsign[:, j] * delta, dj)
-            ok = ok & jnp.all(dj != 0.0)
-            dinv = 1.0 / dj
-            col = Fp[:, :, j]                      # (k, fmax)
-            lcol = col * dinv[:, None]
-            gt = (gtw > j).astype(Kv.dtype)
-            Fp = Fp - col[:, :, None] * (lcol[:, :wmax] * gt)[:, None, :]
-            newcol = lcol.at[:, j].set(dj)  # D kept on the diagonal slot
-            Fp = Fp.at[:, :, j].set(newcol)
-            return Fp, ok
+            dsign = xs["dsign"].astype(Kv.dtype)
 
-        Fp, ok = jax.lax.fori_loop(0, wmax, elim_body, (Fp, ok))
-        # write D^{-1} for the real columns
-        cg = bufs[f"l{i}_cg"]
-        dvals = 1.0 / Fp[:, gtw, gtw]
-        Dinv = Dinv.at[cg.ravel()].set(dvals.ravel())
-        if rmax:
-            # Schur complement in ONE batched matmul (MXU work; the
-            # old full-front path did this as wmax rank-1 VPU sweeps):
-            # F22 -= L21 D L21^T with L21 = panel rows, D = panel diag
-            F2 = jnp.zeros(k * rmax * rmax, dtype=Kv.dtype)
-            if lp.k2_src.size:
-                F2 = F2.at[bufs[f"l{i}_k2dst"]].add(
-                    Kv[bufs[f"l{i}_k2src"]]
+            def elim_body(j, c):
+                Fp, ok = c
+                dj = Fp[:, j, j]
+                if reg_enable:
+                    bad = (dj == 0.0) | (dsign[:, j] * dj < eps)
+                    dj = jnp.where(bad, dsign[:, j] * delta, dj)
+                ok = ok & jnp.all(dj != 0.0)
+                dinv = 1.0 / dj
+                col = Fp[:, :, j]                      # (kq, fq)
+                lcol = col * dinv[:, None]
+                gt = (gtw > j).astype(Kv.dtype)
+                Fp = Fp - col[:, :, None] * (lcol[:, :wq]
+                                             * gt)[:, None, :]
+                newcol = lcol.at[:, j].set(dj)  # D on the diagonal slot
+                Fp = Fp.at[:, :, j].set(newcol)
+                return Fp, ok
+
+            Fp, ok = jax.lax.fori_loop(0, wq, elim_body, (Fp, ok))
+            d = Fp[:, gtw, gtw]                        # (kq, wq)
+            Dinv = Dinv.at[xs["cg"]].set((1.0 / d).reshape(-1))
+            if rq:
+                F2 = jnp.zeros(kq * rq * rq + 1, dtype=Kv.dtype)
+                if xs["k2_src"].shape[0]:
+                    F2 = F2.at[xs["k2_dst"]].add(Kv[xs["k2_src"]])
+                if xs["u2_src"].shape[0]:
+                    F2 = F2.at[xs["u2_dst"]].add(ubuf[xs["u2_src"]])
+                F2 = F2[:-1].reshape(kq, rq, rq)
+                # Schur complement in ONE batched matmul (MXU work):
+                # F22 -= L21 D L21^T
+                L21 = Fp[:, wq:, :]                    # (kq, rq, wq)
+                F2 = F2 - jnp.einsum(
+                    "krw,kw,ksw->krs", L21, d, L21,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
-            if lp.u2_src.size:
-                F2 = F2.at[bufs[f"l{i}_u2dst"]].add(
-                    ubuf[bufs[f"l{i}_u2src"]]
-                )
-            F2 = F2.reshape(k, rmax, rmax)
-            L21 = Fp[:, wmax:, :]                  # (k, rmax, wmax)
-            d = Fp[:, gtw, gtw]                    # (k, wmax)
-            F2 = F2 - jnp.einsum(
-                "krw,kw,ksw->krs", L21, d, L21,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            if lp.w_src.size:
-                ubuf = ubuf.at[bufs[f"l{i}_wdst"]].set(
-                    F2.reshape(-1)[bufs[f"l{i}_wsrc"]]
-                )
-        # keep only the eliminated panel: the solves read it
-        # exclusively, and the trailing block just went into ubuf
-        fronts_out.append(Fp)
+                if xs["w_src"].shape[0]:
+                    ubuf = ubuf.at[xs["w_dst"]].set(
+                        F2.reshape(-1)[xs["w_src"]]
+                    )
+            return (ubuf, Dinv, ok), Fp
 
-    ok = ok & jnp.all(jnp.isfinite(Dinv))
+        (ubuf, Dinv, ok), panels = jax.lax.scan(
+            body, (ubuf, Dinv, ok), _group_xs(bufs, gi)
+        )
+        fronts_out.append(panels)      # (nl, kq, fq, wq)
+
+    ok = ok & jnp.all(jnp.isfinite(Dinv[:N]))
     return {"fronts": fronts_out, "Dinv": Dinv}, ok
 
 
 def solve(plan: NumericPlan, fac, b, bufs):
-    """Solve K x = b with the factored fronts; b (N,) in ORIGINAL order."""
+    """Solve K x = b with the factored fronts; b (N,) in ORIGINAL order.
+    Forward/backward substitution walk the level groups as scans (the
+    backward pass scans in reverse); per level a wq-step substitution
+    on the (kq, wq) diagonal block plus ONE batched matvec for all
+    trailing-row updates."""
     N = plan.N
     x = jnp.concatenate([b[bufs["perm"]], jnp.zeros(1, b.dtype)])
 
-    # forward: (L + I) y = b, leaves -> roots.  Per level: a wmax-step
-    # substitution on the (k, wmax) diagonal block, then ONE batched
-    # matvec applies all trailing-row updates (the old path swept the
-    # full (k, fmax) front every step)
-    for i, (lp, F) in enumerate(zip(plan.levels, fac["fronts"])):
-        k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
-        g = bufs[f"l{i}_gidx"]
-        iota = jnp.arange(wmax)
-        x1 = x[g[:, :wmax]]                    # (k, wmax)
-        L11 = F[:, :wmax, :]
+    # forward: (L + I) y = b, leaves -> roots
+    for gi, gp in enumerate(plan.groups):
+        kq, fq, wq = gp.kq, gp.fq, gp.wq
+        iota = jnp.arange(wq)
 
-        def fwd_body(j, x1):
-            gt = (iota > j).astype(x1.dtype)
-            return x1 - (L11[:, :, j] * gt[None, :]) * x1[:, j][:, None]
+        def fwd(x, xs, wq=wq, iota=iota):
+            F = xs["F"]
+            g = xs["gidx"]
+            x1 = x[g[:, :wq]]                  # (kq, wq)
+            L11 = F[:, :wq, :]
 
-        x1 = jax.lax.fori_loop(0, wmax, fwd_body, x1)
-        cg = bufs[f"l{i}_cg"]
-        x = x.at[cg.ravel()].set(x1.ravel())
-        if fmax > wmax:
-            delta = -jnp.einsum(
-                "krw,kw->kr", F[:, wmax:, :], x1,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            x = x.at[g[:, wmax:].ravel()].add(delta.ravel())
+            def fwd_body(j, x1):
+                gt = (iota > j).astype(x1.dtype)
+                return x1 - (L11[:, :, j] * gt[None, :]) \
+                    * x1[:, j][:, None]
+
+            x1 = jax.lax.fori_loop(0, wq, fwd_body, x1)
+            x = x.at[xs["cg"]].set(x1.reshape(-1))
+            if F.shape[1] > wq:
+                # broadcast-multiply-reduce, NOT einsum: XLA fuses this
+                # into one VPU pass; a dot this small goes through the
+                # emulated-f64 matmul path on TPU and its fixed
+                # overhead dominated the whole solve (k=100 grid QP:
+                # 17.6 s vs 9.7 s warm)
+                delta = -jnp.sum(F[:, wq:, :] * x1[:, None, :], axis=2)
+                x = x.at[g[:, wq:].reshape(-1)].add(delta.reshape(-1))
+            return x, None
+
+        x, _ = jax.lax.scan(
+            fwd, x, {"F": fac["fronts"][gi],
+                     "gidx": bufs[f"g{gi}_gidx"],
+                     "cg": bufs[f"g{gi}_cg"]},
+        )
 
     # diagonal
     x = x * fac["Dinv"]
 
     # backward: (L + I)' x = y, roots -> leaves
-    nlev = len(plan.levels)
-    for ir, (lp, F) in enumerate(
-        zip(reversed(plan.levels), reversed(fac["fronts"]))
-    ):
-        i = nlev - 1 - ir
-        k, fmax, wmax = lp.col_gid.shape[0], lp.fmax, lp.wmax
-        g = bufs[f"l{i}_gidx"]
-        iota = jnp.arange(wmax)
-        x1 = x[g[:, :wmax]]
-        L11 = F[:, :wmax, :]
-        if fmax > wmax:
-            x2 = x[g[:, wmax:]]
-            x1 = x1 - jnp.einsum(
-                "krw,kr->kw", F[:, wmax:, :], x2,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+    for gi in range(len(plan.groups) - 1, -1, -1):
+        gp = plan.groups[gi]
+        kq, fq, wq = gp.kq, gp.fq, gp.wq
+        iota = jnp.arange(wq)
 
-        def bwd_body(jj, x1):
-            j = wmax - 1 - jj
-            gt = (iota > j).astype(x1.dtype)
-            dot = jnp.sum((L11[:, :, j] * gt[None, :]) * x1, axis=1)
-            return x1.at[:, j].add(-dot)
+        def bwd(x, xs, wq=wq, iota=iota):
+            F = xs["F"]
+            g = xs["gidx"]
+            x1 = x[g[:, :wq]]
+            L11 = F[:, :wq, :]
+            if F.shape[1] > wq:
+                x2 = x[g[:, wq:]]
+                # broadcast-multiply-reduce (see the forward pass)
+                x1 = x1 - jnp.sum(F[:, wq:, :] * x2[:, :, None],
+                                  axis=1)
 
-        x1 = jax.lax.fori_loop(0, wmax, bwd_body, x1)
-        cg = bufs[f"l{i}_cg"]
-        x = x.at[cg.ravel()].set(x1.ravel())
+            def bwd_body(jj, x1):
+                j = wq - 1 - jj
+                gt = (iota > j).astype(x1.dtype)
+                dot = jnp.sum((L11[:, :, j] * gt[None, :]) * x1,
+                              axis=1)
+                return x1.at[:, j].add(-dot)
+
+            x1 = jax.lax.fori_loop(0, wq, bwd_body, x1)
+            x = x.at[xs["cg"]].set(x1.reshape(-1))
+            return x, None
+
+        x, _ = jax.lax.scan(
+            bwd, x, {"F": fac["fronts"][gi],
+                     "gidx": bufs[f"g{gi}_gidx"],
+                     "cg": bufs[f"g{gi}_cg"]},
+            reverse=True,
+        )
 
     return x[:N][bufs["iperm"]]
 
