@@ -252,6 +252,28 @@ class BatchSparseSolver:
         self._spbufs = {k: jnp.asarray(v) for k, v in host_bufs.items()}
         self.raw = None
 
+    def update_data(self, q=None, b=None, P_vals=None, A_vals=None):
+        """Parametric re-solve path (data_updating.jl semantics for the
+        batched-values case): replace per-problem q/b/nz values without
+        re-analysis or re-compilation.  Shapes must match the original
+        batch."""
+        Pvb, Avb, qb, bb = self._args
+
+        def repl(new, old, what):
+            if new is None:
+                return old
+            new = np.asarray(new, dtype=np.float64)
+            if new.shape != old.shape:
+                raise ValueError(
+                    f"{what} must have shape {old.shape}, got {new.shape}"
+                )
+            return jnp.asarray(new)
+
+        self._args = (
+            repl(P_vals, Pvb, "P_vals"), repl(A_vals, Avb, "A_vals"),
+            repl(q, qb, "q"), repl(b, bb, "b"),
+        )
+
     def solve(self):
         import time as _time
 

@@ -113,3 +113,22 @@ def test_batch_shards_over_devices():
     P, qs, A, bs, cones, _, _ = _grid_family(k=6, B=8, seed=2)
     sols = BatchSparseSolver(P, qs, A, bs, cones, n_devices=4).solve()
     assert all(s.status.name == "SOLVED" for s in sols)
+
+
+def test_batch_update_data_resolves():
+    """update_data must re-solve with new values and no re-analysis."""
+    P, qs, A, bs, cones, _, _ = _grid_family(k=6, B=3, seed=4)
+    batch = BatchSparseSolver(P, qs, A, bs, cones)
+    first = batch.solve()
+    qs2 = qs * 2.0
+    batch.update_data(q=qs2)
+    second = batch.solve()
+    for i in range(3):
+        ref = SparseSolver(
+            P, qs2[i], A, bs[i], cones,
+            Settings(presolve_enable=False),
+        ).solve()
+        assert second[i].status.name == "SOLVED"
+        assert second[i].obj_val == pytest.approx(ref.obj_val, abs=1e-7)
+        assert second[i].obj_val != pytest.approx(first[i].obj_val,
+                                                  abs=1e-9)
