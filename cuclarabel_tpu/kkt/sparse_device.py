@@ -55,17 +55,15 @@ class _GroupPlan:
     kq: int                 # padded front count per level
     fq: int                 # padded front size (kq fronts of fq rows)
     wq: int                 # padded panel width
-    # assembly: K values -> panel / F22 slots (nl, Lmax) each,
-    # padded with src=0 / dst=trash
-    kp_src: np.ndarray
-    kp_dst: np.ndarray
-    k2_src: np.ndarray
-    k2_dst: np.ndarray
-    # assembly: child update buffer -> panel / F22 slots
-    up_src: np.ndarray
-    up_dst: np.ndarray
-    u2_src: np.ndarray
-    u2_dst: np.ndarray
+    # assembly: unified value buffer [Kv | ubuf | trash] -> panel /
+    # F22 slots, (nl, Lmax) each, padded with src=0 / dst=trash.
+    # Merging the K-entry and child-update scatters into one per
+    # target halves the scatter count per level step (batched scatter
+    # is the compile-time driver under vmap).
+    p_src: np.ndarray
+    p_dst: np.ndarray
+    s2_src: np.ndarray
+    s2_dst: np.ndarray
     # update write-back: F22 slots -> ubuf positions
     w_src: np.ndarray
     w_dst: np.ndarray
@@ -99,8 +97,7 @@ class NumericPlan:
         SIGKILLed remote compile at a 9 MB MLIR module)."""
         bufs = {"perm": self.sym.perm, "iperm": self.sym.iperm}
         for i, gp in enumerate(self.groups):
-            for name in ("kp_src", "kp_dst", "k2_src", "k2_dst",
-                         "up_src", "up_dst", "u2_src", "u2_dst",
+            for name in ("p_src", "p_dst", "s2_src", "s2_dst",
                          "w_src", "w_dst", "cg", "dsign", "pad",
                          "gidx"):
                 bufs[f"g{i}_{name}"] = getattr(gp, name)
@@ -213,9 +210,9 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
         trash_p = kq * fq * wq
         trash_2 = kq * rq * rq
 
+        nnzK = int(sym.Ai.shape[0])
         per_level = {name: [] for name in (
-            "kp_src", "kp_dst", "k2_src", "k2_dst", "up_src", "up_dst",
-            "u2_src", "u2_dst", "w_src", "w_dst")}
+            "p_src", "p_dst", "s2_src", "s2_dst", "w_src", "w_dst")}
         cg_all, dsign_all, pad_all, gidx_all = [], [], [], []
 
         for l in range(glo, ghi):
@@ -300,14 +297,20 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
                     else np.zeros(0, dtype=np.int64)
                 )
 
-            per_level["kp_src"].append(np.asarray(kp_src, np.int64))
-            per_level["kp_dst"].append(np.asarray(kp_dst, np.int64))
-            per_level["k2_src"].append(np.asarray(k2_src, np.int64))
-            per_level["k2_dst"].append(np.asarray(k2_dst, np.int64))
-            per_level["up_src"].append(_cat(up_src))
-            per_level["up_dst"].append(_cat(up_dst))
-            per_level["u2_src"].append(_cat(u2_src))
-            per_level["u2_dst"].append(_cat(u2_dst))
+            # unified value buffer [Kv | ubuf | trash]: child-update
+            # sources shift by nnzK, then one scatter per target
+            per_level["p_src"].append(np.concatenate(
+                [np.asarray(kp_src, np.int64), _cat(up_src) + nnzK]
+            ))
+            per_level["p_dst"].append(np.concatenate(
+                [np.asarray(kp_dst, np.int64), _cat(up_dst)]
+            ))
+            per_level["s2_src"].append(np.concatenate(
+                [np.asarray(k2_src, np.int64), _cat(u2_src) + nnzK]
+            ))
+            per_level["s2_dst"].append(np.concatenate(
+                [np.asarray(k2_dst, np.int64), _cat(u2_dst)]
+            ))
             per_level["w_src"].append(_cat(w_src))
             per_level["w_dst"].append(_cat(w_dst))
             cg_all.append(np.where(col_gid < 0, N, col_gid)
@@ -328,14 +331,10 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
 
         groups.append(_GroupPlan(
             lo=glo, hi=ghi, kq=kq, fq=fq, wq=wq,
-            kp_src=_stack("kp_src", 0),
-            kp_dst=_stack("kp_dst", trash_p),
-            k2_src=_stack("k2_src", 0),
-            k2_dst=_stack("k2_dst", trash_2),
-            up_src=_stack("up_src", 0),
-            up_dst=_stack("up_dst", trash_p),
-            u2_src=_stack("u2_src", 0),
-            u2_dst=_stack("u2_dst", trash_2),
+            p_src=_stack("p_src", 0),
+            p_dst=_stack("p_dst", trash_p),
+            s2_src=_stack("s2_src", 0),
+            s2_dst=_stack("s2_dst", trash_2),
             w_src=_stack("w_src", 0),
             w_dst=_stack("w_dst", ubuf_size),
             cg=np.stack(cg_all).astype(np.int32),
@@ -352,9 +351,8 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
 # numeric phase (jittable)
 # ---------------------------------------------------------------------
 
-_GNAMES = ("kp_src", "kp_dst", "k2_src", "k2_dst", "up_src", "up_dst",
-           "u2_src", "u2_dst", "w_src", "w_dst", "cg", "dsign", "pad",
-           "gidx")
+_GNAMES = ("p_src", "p_dst", "s2_src", "s2_dst", "w_src", "w_dst",
+           "cg", "dsign", "pad", "gidx")
 
 
 def _group_xs(bufs, gi):
@@ -370,7 +368,12 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
     elimination, matmul Schur update, write-back) is compiled once per
     group."""
     N = plan.N
-    ubuf = jnp.zeros(plan.ubuf_size + 1, dtype=Kv.dtype)
+    nnzK = Kv.shape[0]
+    # unified value buffer: [Kv | ubuf | trash] — one scatter per
+    # assembly target per level instead of separate K/child scatters
+    vals = jnp.concatenate(
+        [Kv, jnp.zeros(plan.ubuf_size + 1, dtype=Kv.dtype)]
+    )
     Dinv = jnp.zeros(N + 1, dtype=Kv.dtype)
     fronts_out = []
     ok = jnp.asarray(True)
@@ -382,11 +385,9 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
 
         def body(carry, xs, kq=kq, fq=fq, wq=wq, rq=rq,
                  eye_pw=eye_pw, gtw=gtw):
-            ubuf, Dinv, ok = carry
+            vals, Dinv, ok = carry
             Fp = jnp.zeros(kq * fq * wq + 1, dtype=Kv.dtype)
-            Fp = Fp.at[xs["kp_dst"]].add(Kv[xs["kp_src"]])
-            if xs["up_src"].shape[0]:
-                Fp = Fp.at[xs["up_dst"]].add(ubuf[xs["up_src"]])
+            Fp = Fp.at[xs["p_dst"]].add(vals[xs["p_src"]])
             Fp = Fp[:-1].reshape(kq, fq, wq)
             # identity-pad the unused column slots
             Fp = Fp + xs["pad"][:, None, :] * eye_pw.astype(Kv.dtype)
@@ -415,10 +416,8 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
             Dinv = Dinv.at[xs["cg"]].set((1.0 / d).reshape(-1))
             if rq:
                 F2 = jnp.zeros(kq * rq * rq + 1, dtype=Kv.dtype)
-                if xs["k2_src"].shape[0]:
-                    F2 = F2.at[xs["k2_dst"]].add(Kv[xs["k2_src"]])
-                if xs["u2_src"].shape[0]:
-                    F2 = F2.at[xs["u2_dst"]].add(ubuf[xs["u2_src"]])
+                if xs["s2_src"].shape[0]:
+                    F2 = F2.at[xs["s2_dst"]].add(vals[xs["s2_src"]])
                 F2 = F2[:-1].reshape(kq, rq, rq)
                 # Schur complement in ONE batched matmul (MXU work):
                 # F22 -= L21 D L21^T
@@ -428,13 +427,13 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 if xs["w_src"].shape[0]:
-                    ubuf = ubuf.at[xs["w_dst"]].set(
+                    vals = vals.at[nnzK + xs["w_dst"]].set(
                         F2.reshape(-1)[xs["w_src"]]
                     )
-            return (ubuf, Dinv, ok), Fp
+            return (vals, Dinv, ok), Fp
 
-        (ubuf, Dinv, ok), panels = jax.lax.scan(
-            body, (ubuf, Dinv, ok), _group_xs(bufs, gi)
+        (vals, Dinv, ok), panels = jax.lax.scan(
+            body, (vals, Dinv, ok), _group_xs(bufs, gi)
         )
         fronts_out.append(panels)      # (nl, kq, fq, wq)
 
