@@ -50,7 +50,7 @@ def main():
     from cuclarabel_tpu.settings import Settings
 
     NASS = 32
-    batches = [int(a) for a in sys.argv[1:]] or [256, 4096]
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [256, 4096]
 
     for B in batches:
         A, qs, bs, cones = _portfolio_socp(nass=NASS, batch=B, seed=7)
@@ -63,7 +63,8 @@ def main():
         qd = jnp.asarray(qs)
         bd = jnp.asarray(bs)
 
-        for method in ["inverse", "pallas"]:
+        methods = [a for a in sys.argv[1:] if a in ("inverse", "pallas")]
+        for method in methods or ["inverse", "pallas"]:
             settings = Settings(
                 kkt_factor_precision="float32", kkt_solve_method=method
             )
@@ -105,7 +106,12 @@ def main():
                 t_kktsolve, sol = timeit(f_solve, fac, rx, rz)
 
                 # f64 refinement matvec
-                K64 = fac["K"]
+                if "K" in fac:
+                    K64 = fac["K"]
+                else:  # pallas dd path stores two-float parts
+                    K64 = fac["Kh"].astype(jnp.float64) + fac["Kl"].astype(
+                        jnp.float64
+                    )
                 xx = jnp.concatenate([rx, rz], axis=1)
                 f_mv64 = jax.jit(lambda K, x: jnp.einsum("bij,bj->bi", K, x))
                 t_mv64, _ = timeit(f_mv64, K64, xx)
@@ -130,6 +136,40 @@ def main():
                 f_scal = jax.jit(jax.vmap(scal_fn))
                 t_scal, _ = timeit(f_scal, sS, zS, muB)
 
+                # cone step-length search (2 calls per iteration)
+                scal_state, _ = jax.vmap(
+                    lambda s_, z_, mu_: cone_ops.update_scaling(
+                        layout, s_, z_, mu_, 0
+                    )
+                )(sS, zS, muB)
+                dzS = jax.random.normal(key, (B, m), dtype=jnp.float64)
+                dsS = jax.random.normal(key, (B, m), dtype=jnp.float64)
+
+                def sl_fn(st_, dz_, ds_, z_, s_):
+                    return cone_ops.step_length(
+                        layout, st_, dz_, ds_, z_, s_,
+                        jnp.asarray(1.0), settings
+                    )
+
+                f_sl = jax.jit(jax.vmap(sl_fn))
+                t_sl, _ = timeit(f_sl, scal_state, dzS, dsS, zS, sS)
+
+                # combined ds shift (higher-order correction)
+                def shift_fn(st_, dz_, ds_, z_):
+                    return cone_ops.combined_ds_shift(
+                        layout, st_, dz_, ds_, jnp.asarray(0.1), z_
+                    )
+
+                f_shift = jax.jit(jax.vmap(shift_fn))
+                t_shift, _ = timeit(f_shift, scal_state, dzS, dsS, zS)
+
+                # residual A-products (f64): the loop's rx/rz matvecs
+                def resid_fn(A_, x_, z_):
+                    return A_.T @ z_, A_ @ x_
+
+                f_res = jax.jit(jax.vmap(resid_fn, in_axes=(None, 0, 0)))
+                t_res, _ = timeit(f_res, Ad, rx, rz)
+
             rec = {
                 "B": B,
                 "method": method,
@@ -144,6 +184,12 @@ def main():
                 "ms_matvec_f64": round(t_mv64 * 1e3, 3),
                 "ms_matvec_f32": round(t_mv32 * 1e3, 3),
                 "ms_scaling_Hs": round(t_scal * 1e3, 3),
+                "ms_step_length": round(t_sl * 1e3, 3),
+                "ms_ds_shift": round(t_shift * 1e3, 3),
+                "ms_residual_Amv": round(t_res * 1e3, 3),
+                "ms_per_iter_total": round(
+                    t_solve / max(float(iters.mean()), 1.0) * 1e3, 3
+                ),
             }
             print(json.dumps(rec), flush=True)
 
