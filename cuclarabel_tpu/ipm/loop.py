@@ -109,6 +109,17 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
     else:
         factorize, kkt_solve = make_dense_kkt(n, m, settings, factor_dtype, layout)
 
+    # backends taking the structured (diag, blk, socx, gpx) Hs tuple
+    # (kkt/arrow.py) instead of the materialized dense (m, m) Hs
+    structured_hs = getattr(factorize, "structured_hs", False)
+    if structured_hs:
+        _hs_plan = cone_ops.sparse_hs_plan(layout)
+
+    def _hs_for_backend(scal):
+        if structured_hs:
+            return cone_ops.sparse_hs_values(layout, scal, _hs_plan)
+        return cone_ops.assemble_Hs_dense(layout, scal)
+
     allows_pd = layout.allows_primal_dual_scaling
     init_scaling = PRIMAL_DUAL if allows_pd else DUAL_ONLY
 
@@ -393,9 +404,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             if sym:
                 scal0 = cone_ops.set_identity_scaling(layout)
                 if sparse is None:
-                    fac, _ = factorize(
-                        P, A, cone_ops.assemble_Hs_dense(layout, scal0)
-                    )
+                    fac, _ = factorize(P, A, _hs_for_backend(scal0))
                 else:
                     fac, _ = factorize(
                         Pv, Av,
@@ -529,8 +538,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
             # --- KKT update + constant-rhs solve (kktsystem.jl:62-92)
             if sparse is None:
-                Hs = cone_ops.assemble_Hs_dense(layout, scal)
-                fac, okf = factorize(P, A, Hs)
+                fac, okf = factorize(P, A, _hs_for_backend(scal))
             else:
                 hs_parts = cone_ops.sparse_hs_values(layout, scal, _hs_plan)
                 fac, okf = factorize(Pv, Av, hs_parts, dev["spbufs"])

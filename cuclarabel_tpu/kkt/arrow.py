@@ -6,40 +6,53 @@ The reduced KKT system
     [ P   A' ] [x]   [rx]
     [ A  -Hs ] [z] = [rz]
 
-is solved by eliminating the z-block:  z = H^{-1}(A x - rz) with
-H = Hs + eps*I, and
+is solved by eliminating every constraint row whose Hs contribution is
+DIAGONAL, in parallel across a 'row' device mesh sharding the
+constraint dimension m.  Non-diagonal structure is carried exactly,
+never densified into the Schur complement:
 
-    S x = rx + A' H^{-1} rz,     S = P + eps*I + A' H^{-1} A.
+* Nonnegative rows (Hs = w^2), the diagonal part of expanded
+  second-order cones (Hs = eta^2(D + uu' - vv'), rank-2 expansion of
+  coneops_socone.jl:125-151 / directldl_datamaps.jl:8-79), and the
+  diagonal part of GenPow cones (Hs = mu(D + pp' - qq' - rr'),
+  directldl_datamaps.jl:81-167) are ELIMINABLE: each device owns a row
+  slab of A and the matching slice of the Hs diagonal, so forming
+  A_el' D^{-1} A_el partitions across devices and combines with one
+  psum into the replicated (n, n) Schur block S.
 
-Under a 'row' mesh axis sharding the constraint dimension m, each
-device owns a row slab A_d (m_d, n) and the matching diagonal slab of
-Hs, so the O(m^3)-ish work — inverting H_d and forming A_d' H_d^{-1}
-A_d — partitions across devices, combined with one psum into the
-replicated (n, n) Schur complement.  This is explicit `shard_map`
-partitioning, not GSPMD inference: the factor provably shards (the
-returned H^{-1} carries a PartitionSpec('row', None) sharding;
-tests/test_arrow_kkt.py asserts it).
+* The low-rank expansion vectors (u, v per big SOC; q, r, p per
+  GenPow) become EXPLICIT saddle unknowns t with the same column
+  values and extension-diagonal signs the sparse KKT assembly uses
+  (kkt/sparse_tpu.py; reference Dsigns: SOC (v,u) -> (-1,+1), GenPow
+  (q,r,p) -> (-1,-1,+1), directldl_kkt_assembly.jl:112-126 semantics).
 
-Alignment requirement: every non-diagonal cone block (SOC/PSD/exp/pow/
-genpow ranges — the same ranges equilibration rectifies) must lie
-within a single shard so its Hs block is local; `make_arrow_kkt`
-validates this at build time.
+* Zero-cone rows (Hs = 0: eliminating them through (eps I)^{-1} puts a
+  1/eps A_eq'A_eq term into S that defeats fixed-order elimination)
+  and rows of cones with small dense Hs blocks (SOC dim <= 4, exp/pow
+  3x3) stay EXPLICIT with their -Hs blocks in the replicated saddle.
 
-Numerics: zero-cone (equality) rows have Hs = 0; eliminating them
-through H^{-1} = (eps*I)^{-1} would put a 1/eps * A_eq' A_eq term into
-the Schur complement, whose dominant near-singular block defeats any
-fixed-order (pivot-free) elimination (measured: residual O(1) at
-cond ~ 1e9).  They are therefore kept explicit: only inequality rows
-are eliminated per-device, and the replicated reduced system
+Eliminating the diagonal rows from the augmented quasidefinite system
 
-    [ S1    A_eq' ] [x]   S1 = P + eps*I + A_in' H_in^{-1} A_in
-    [ A_eq  -eps*I] [y]
+    [ P    A_el'  A_ex'  0 ] [x   ]   [rx   ]
+    [ A_el  -D     0     V ] [z_el ] = [rz_el]
+    [ A_ex   0   -Hex    0 ] [z_ex]   [rz_ex]
+    [ 0     V'    0      E ] [t   ]   [0    ]
 
-is quasidefinite with the SPD block leading — exactly the stability
-ordering the dense backend uses — so its pivot-free inverse is
-well-behaved.  Residual refinement against the full distributed KKT
-operator then restores full accuracy (the reference's static-reg +
-refinement architecture, kktsolver_directldl.jl:247-310, 389-449).
+leaves the replicated reduced saddle
+
+    M = [ S    B    A_ex' ]      S = P + eps I + A_el' D^{-1} A_el
+        [ B'   C     0    ]      B = A_el' D^{-1} V
+        [ A_ex 0   -Hex   ]      C = E + V' D^{-1} V
+
+which is a Schur complement of a quasidefinite matrix and therefore
+factors pivot-free in any symmetric order (Vanderbei 1995); the SPD
+block S leads for stability.  PSD cones (large dense svec blocks with
+no low-rank expansion) are not supported — ShardedSolver falls back to
+GSPMD partitioning of the dense backend for those layouts.
+
+Residual refinement against the full distributed augmented operator
+restores reference accuracy (static-reg + refinement architecture,
+kktsolver_directldl.jl:247-310, 389-449).
 """
 
 from functools import partial
@@ -55,25 +68,36 @@ from .dense import pivotfree_inv
 
 
 def _inf_norm(v):
+    if v.size == 0:
+        return jnp.asarray(0.0)
     return jnp.max(jnp.abs(v))
 
 
 def make_arrow_kkt(n: int, m: int, settings, layout, mesh: Mesh,
                    axis: str = "row"):
-    """(factorize, solve) with the dense-backend interface, partitioned
-    over `mesh` along `axis` (which shards the m constraint rows)."""
+    """(factorize, solve) with the structured-Hs interface, partitioned
+    over `mesh` along `axis` (which shards the m constraint rows).
+
+    `factorize(P, A, hs_parts)` takes the same (diag, blk_vals, socx,
+    gpx) tuple as the sparse backends (cones/ops.py sparse_hs_values);
+    the returned factorize carries `structured_hs = True` so the IPM
+    loop selects that assembly."""
+    if layout.has_psd:
+        raise ValueError(
+            "arrow TP does not support PSD layouts (no low-rank "
+            "expansion of the svec Hs block); use the GSPMD dense path"
+        )
     ndev = mesh.shape[axis]
     if m % ndev != 0:
         raise ValueError(f"m={m} must divide the {ndev}-device mesh")
     m_loc = m // ndev
 
-    for lo, hi in layout.rectification_ranges():
-        if lo // m_loc != (hi - 1) // m_loc:
-            raise ValueError(
-                f"cone block [{lo},{hi}) straddles a shard boundary "
-                f"(shard size {m_loc}); pad or reorder cones so each "
-                "SOC/PSD/exp/pow block is device-local"
-            )
+    from ..cones import ops as cone_ops
+
+    plan = cone_ops.sparse_hs_plan(layout)
+    nx = len(plan["socx_rows"])      # expanded SOC count
+    ngx = len(plan["gpx_cone"])      # GenPow count (always expanded)
+    nw = 2 * nx + 3 * ngx            # explicit low-rank saddle unknowns
 
     eps_const = settings.static_regularization_constant
     eps_prop = settings.static_regularization_proportional
@@ -89,130 +113,235 @@ def make_arrow_kkt(n: int, m: int, settings, layout, mesh: Mesh,
     rowvec = P(axis)
     repl = P()
 
-    # equality (zero-cone) rows stay explicit in the reduced system
-    eq_mask_np = np.asarray(layout.zero_mask, dtype=bool)
-    eq_idx_np = np.nonzero(eq_mask_np)[0]
-    meq = int(eq_idx_np.shape[0])
-    in_mask_np = (~eq_mask_np).astype(np.float64)
-    # position of each eq row's dual in the reduced system's y block
-    eq_pos_np = np.zeros(m, dtype=np.int64)
-    eq_pos_np[eq_idx_np] = np.arange(meq)
+    # ---- host row classification -----------------------------------
+    # explicit rows: zero cones + rows of small dense Hs blocks
+    ex_mask_np = np.asarray(layout.zero_mask, dtype=bool).copy()
+    blk_rows = plan["blk_rows"]
+    blk_cols = plan["blk_cols"]
+    ex_mask_np[blk_rows] = True
+    ex_mask_np[blk_cols] = True
+    ex_idx_np = np.nonzero(ex_mask_np)[0]
+    mex = int(ex_idx_np.shape[0])
+    el_mask_np = (~ex_mask_np).astype(np.float64)
+    # position of each explicit row inside the saddle's z_ex block
+    ex_pos_np = np.zeros(m, dtype=np.int64)
+    ex_pos_np[ex_idx_np] = np.arange(mex)
 
-    def factorize(Pm, A, Hs):
-        """Pm (n,n) replicated, A (m,n) row-sharded, Hs (m,m) row-sharded."""
+    # Hex scatter plan: blk entries have row <= col within each cone
+    hex_i_np = ex_pos_np[blk_rows]
+    hex_j_np = ex_pos_np[blk_cols]
+    hex_off_np = np.nonzero(blk_rows != blk_cols)[0]
+
+    # V scatter plan: per-SOC (v -> col 2t, u -> col 2t+1), per-GenPow
+    # (q, r, p -> cols 2nx+3t+{0,1,2}); value order matches the
+    # concatenation order used in _assemble_V below.
+    v_r, v_c = [], []
+    for t, rows in enumerate(plan["socx_rows"]):
+        v_r.extend(int(r) for r in rows)   # v column
+        v_c.extend([2 * t] * len(rows))
+    for t, rows in enumerate(plan["socx_rows"]):
+        v_r.extend(int(r) for r in rows)   # u column
+        v_c.extend([2 * t + 1] * len(rows))
+    for t in range(ngx):
+        r1 = plan["gpx_rows1"][t]
+        r2 = plan["gpx_rows2"][t]
+        base = 2 * nx + 3 * t
+        v_r.extend(int(r) for r in r1)     # q column (dim1 rows)
+        v_c.extend([base] * len(r1))
+        v_r.extend(int(r) for r in r2)     # r column (dim2 rows)
+        v_c.extend([base + 1] * len(r2))
+        v_r.extend(int(r) for r in r1)     # p column (all rows)
+        v_c.extend([base + 2] * len(r1))
+        v_r.extend(int(r) for r in r2)
+        v_c.extend([base + 2] * len(r2))
+    v_r_np = np.asarray(v_r, dtype=np.int64)
+    v_c_np = np.asarray(v_c, dtype=np.int64)
+
+    dsigns_ext_np = np.concatenate([
+        np.tile([-1.0, 1.0], nx),          # SOC (v, u)
+        np.tile([-1.0, -1.0, 1.0], ngx),   # GenPow (q, r, p)
+    ]) if nw else np.zeros(0)
+
+    def _assemble_V(socx, gpx):
+        """(m, nw) expansion-column matrix from the per-cone scaled
+        vectors (already carrying the -eta^2 / -sqrt(mu) K scaling)."""
+        vals = []
+        for t in socx:
+            vals.append(t[1])              # v columns
+        for t in socx:
+            vals.append(t[0])              # u columns
+        for t in gpx:
+            vals.extend((t[0], t[1], t[2]))  # q, r, p
+        V = jnp.zeros((m, nw))
+        if vals:
+            V = V.at[v_r_np, v_c_np].set(jnp.concatenate(vals))
+        return V
+
+    def _assemble_E(socx, gpx):
+        parts = [t[2] for t in socx] + [t[3] for t in gpx]
+        return jnp.concatenate(parts) if parts else jnp.zeros(0)
+
+    def _assemble_Hex(blk_vals):
+        Hex = jnp.zeros((mex, mex))
+        if blk_vals.size:
+            Hex = Hex.at[hex_i_np, hex_j_np].add(blk_vals)
+            Hex = Hex.at[
+                hex_j_np[hex_off_np], hex_i_np[hex_off_np]
+            ].add(blk_vals[hex_off_np])
+        return Hex
+
+    def factorize(Pm, A, hs_parts):
+        """Pm (n,n) replicated, A (m,n) row-sharded, hs_parts the
+        structured (diag, blk_vals, socx, gpx) Hs tuple."""
+        hs_diag, blk_vals, socx, gpx = hs_parts
+        V = _assemble_V(socx, gpx)
+        E = _assemble_E(socx, gpx)
+        Hex = _assemble_Hex(blk_vals)
+
         if reg_enable:
-            dmax = jnp.maximum(
-                _inf_norm(jnp.diagonal(Pm)), _inf_norm(jnp.diagonal(Hs))
-            )
+            dmax = jnp.max(jnp.stack([
+                _inf_norm(jnp.diagonal(Pm)),
+                _inf_norm(hs_diag),
+                _inf_norm(E),
+                _inf_norm(jnp.diagonal(Hex)),
+            ]))
             eps = eps_const + eps_prop * dmax
         else:
-            # the z-block elimination needs H invertible
+            # the elimination needs D invertible
             eps = jnp.asarray(eps_const)
 
-        in_mask = jnp.asarray(in_mask_np)
-
-        def local(Pm, A_d, Hs_rows, inm_d, eps):
-            i = jax.lax.axis_index(axis).astype(jnp.int32)
-            Hd = jax.lax.dynamic_slice(
-                Hs_rows, (jnp.int32(0), i * jnp.int32(m_loc)),
-                (m_loc, m_loc),
-            )
-            # neutralize equality rows: unit diagonal + zeroed A rows so
-            # they contribute nothing to the inequality Schur term
-            Hd = (
-                Hd * inm_d[:, None] * inm_d[None, :]
-                + jnp.diag(1.0 - inm_d)
-            )
-            A_in_d = A_d * inm_d[:, None]
-            Hreg = Hd + eps * jnp.eye(m_loc)
-            Hinv_d = pivotfree_inv(Hreg)  # SPD slab: stable pivot-free
-            Spart = A_in_d.T @ (Hinv_d @ A_in_d)
-            S1 = Pm + eps * jnp.eye(n) + jax.lax.psum(Spart, axis)
-            return Hinv_d, S1
-
-        Hinv, S1 = smap(
-            local,
-            in_specs=(repl, rowmat, rowmat, rowvec, repl),
-            out_specs=(rowmat, repl),
-        )(Pm, A, Hs, in_mask, eps)
-
-        if meq:
-            Aeq = A[jnp.asarray(eq_idx_np)]  # (meq, n), replicated gather
-            top = jnp.concatenate([S1, Aeq.T], axis=1)
-            bot = jnp.concatenate(
-                [Aeq, -eps * jnp.eye(meq)], axis=1
-            )
-            Ks = jnp.concatenate([top, bot], axis=0)
-        else:
-            Ks = S1
-        # SPD block leads -> stable pivot-free elimination
-        Kinv = pivotfree_inv(Ks)
-        ok = jnp.all(jnp.isfinite(Kinv)) & jnp.all(jnp.isfinite(Hinv))
-        return {"Hinv": Hinv, "Kinv": Kinv, "A": A, "Hs": Hs}, ok
-
-    def _raw_solve(fac, rx, rz):
-        in_mask = jnp.asarray(in_mask_np)
-
-        def local_fwd(Hinv_d, A_d, inm_d, rz_d):
-            w_d = Hinv_d @ (rz_d * inm_d)
-            return jax.lax.psum((A_d * inm_d[:, None]).T @ w_d, axis)
-
-        atw = smap(
-            local_fwd,
-            in_specs=(rowmat, rowmat, rowvec, rowvec),
-            out_specs=repl,
-        )(fac["Hinv"], fac["A"], in_mask, rz)
-
-        if meq:
-            rhs = jnp.concatenate([rx + atw, rz[jnp.asarray(eq_idx_np)]])
-            sol = fac["Kinv"] @ rhs
-            x, y = sol[:n], sol[n:]
-        else:
-            x = fac["Kinv"] @ (rx + atw)
-            y = jnp.zeros(0)
-
-        # scatter eq duals back into the z vector positions
-        y_full = (
-            jnp.pad(y, (0, 1))[jnp.asarray(eq_pos_np)]
-            if meq
-            else jnp.zeros(m)
+        el_mask = jnp.asarray(el_mask_np)
+        # masked reciprocal: explicit rows contribute nothing.  The
+        # row-sharding constraint pins the eliminated-diagonal factor
+        # to the mesh (tests assert it) instead of leaving the layout
+        # to GSPMD inference.
+        dinv = jax.lax.with_sharding_constraint(
+            el_mask / (hs_diag + eps), NamedSharding(mesh, rowvec)
         )
 
-        def local_bwd(Hinv_d, A_d, inm_d, rz_d, yf_d, x):
-            z_in = Hinv_d @ ((A_d * inm_d[:, None]) @ x - rz_d * inm_d)
-            return z_in * inm_d + yf_d * (1.0 - inm_d)
+        def local(A_d, V_d, dinv_d):
+            AtD = A_d.T * dinv_d          # (n, m_loc)
+            Spart = AtD @ A_d
+            Bpart = AtD @ V_d
+            Cpart = (V_d.T * dinv_d) @ V_d
+            return (
+                jax.lax.psum(Spart, axis),
+                jax.lax.psum(Bpart, axis),
+                jax.lax.psum(Cpart, axis),
+            )
+
+        S0, B, C0 = smap(
+            local,
+            in_specs=(rowmat, rowmat, rowvec),
+            out_specs=(repl, repl, repl),
+        )(A, V, dinv)
+
+        S = Pm + eps * jnp.eye(n) + S0
+        C = C0 + jnp.diag(E + jnp.asarray(dsigns_ext_np) * eps) \
+            if nw else jnp.zeros((0, 0))
+
+        if mex:
+            Aex = A[jnp.asarray(ex_idx_np)]   # (mex, n) replicated gather
+            Hex_reg = Hex + eps * jnp.eye(mex)
+        else:
+            Aex = jnp.zeros((0, n))
+            Hex_reg = jnp.zeros((0, 0))
+
+        # replicated reduced saddle, SPD block leading
+        M = jnp.block([
+            [S, B, Aex.T],
+            [B.T, C, jnp.zeros((nw, mex))],
+            [Aex, jnp.zeros((mex, nw)), -Hex_reg],
+        ]) if (nw or mex) else S
+        Kinv = pivotfree_inv(M)
+        ok = jnp.all(jnp.isfinite(Kinv)) & jnp.all(jnp.isfinite(dinv))
+        return {
+            "Kinv": Kinv, "A": A, "dinv": dinv, "hs_diag": hs_diag,
+            "V": V, "E": E, "Hex": Hex, "Pm": Pm,
+        }, ok
+
+    factorize.structured_hs = True
+
+    def _raw_solve(fac, rx, rz, rt=None):
+        """One augmented-saddle solve; returns (x, z, t).  `rt` is the
+        extension-row RHS (zero on primary solves, the ext residual on
+        refinement corrections)."""
+        def local_fwd(A_d, V_d, dinv_d, rz_d):
+            w_d = dinv_d * rz_d
+            return (
+                jax.lax.psum(A_d.T @ w_d, axis),
+                jax.lax.psum(V_d.T @ w_d, axis) if nw
+                else jnp.zeros(nw),
+            )
+
+        atw, vtw = smap(
+            local_fwd,
+            in_specs=(rowmat, rowmat, rowvec, rowvec),
+            out_specs=(repl, repl),
+        )(fac["A"], fac["V"], fac["dinv"], rz)
+
+        if rt is not None:
+            vtw = vtw + rt
+        rhs = jnp.concatenate([rx + atw, vtw, rz[jnp.asarray(ex_idx_np)]]) \
+            if (nw or mex) else rx + atw
+        sol = fac["Kinv"] @ rhs
+        x = sol[:n]
+        t = sol[n:n + nw]
+        z_ex = sol[n + nw:]
+
+        # scatter explicit duals back into z-vector positions
+        zex_full = (
+            jnp.pad(z_ex, (0, 1))[jnp.asarray(ex_pos_np)]
+            if mex else jnp.zeros(m)
+        )
+        el_mask = jnp.asarray(el_mask_np)
+
+        def local_bwd(A_d, V_d, dinv_d, rz_d, zexf_d, elm_d, x, t):
+            z_el = dinv_d * (A_d @ x + (V_d @ t if nw else 0.0) - rz_d)
+            return z_el * elm_d + zexf_d * (1.0 - elm_d)
 
         z = smap(
-            local_bwd,
-            in_specs=(rowmat, rowmat, rowvec, rowvec, rowvec, repl),
-            out_specs=rowvec,
-        )(fac["Hinv"], fac["A"], in_mask, rz, y_full, x)
-        return x, z
-
-    def _kkt_matvec(fac, x, z):
-        """Distributed [P A'; A -Hs] @ [x; z] (unregularized)."""
-        def local(Pm, A_d, Hs_rows, x, z_d, z_full):
-            i = jax.lax.axis_index(axis).astype(jnp.int32)
-            Hd = jax.lax.dynamic_slice(
-                Hs_rows, (jnp.int32(0), i * jnp.int32(m_loc)),
-                (m_loc, m_loc),
-            )
-            top = Pm @ x + jax.lax.psum(A_d.T @ z_d, axis)
-            bot_d = A_d @ x - Hd @ z_d
-            return top, bot_d
-
-        # z_full unused; kept for symmetry/clarity of specs
-        top, bot = smap(
-            lambda Pm, A_d, Hs_rows, x, z_d: local(
-                Pm, A_d, Hs_rows, x, z_d, None
+            lambda A_d, V_d, dinv_d, rz_d, zexf_d, elm_d: local_bwd(
+                A_d, V_d, dinv_d, rz_d, zexf_d, elm_d, x, t
             ),
-            in_specs=(repl, rowmat, rowmat, repl, rowvec),
-            out_specs=(repl, rowvec),
-        )(fac["P"], fac["A"], fac["Hs"], x, z)
-        return top, bot
+            in_specs=(rowmat, rowmat, rowvec, rowvec, rowvec, rowvec),
+            out_specs=rowvec,
+        )(fac["A"], fac["V"], fac["dinv"], rz, zex_full, el_mask)
+        return x, z, t
+
+    def _kkt_matvec(fac, x, z, t):
+        """Distributed UNregularized augmented operator applied to
+        (x, z, t): returns (top, bot, ext) residue components."""
+        el_mask = jnp.asarray(el_mask_np)
+        if mex:
+            hz_ex = fac["Hex"] @ z[jnp.asarray(ex_idx_np)]
+            hz_full = jnp.pad(hz_ex, (0, 1))[jnp.asarray(ex_pos_np)]
+        else:
+            hz_full = jnp.zeros(m)
+
+        def local(A_d, V_d, hsd_d, z_d, hzf_d, elm_d, x, t):
+            top_p = jax.lax.psum(A_d.T @ z_d, axis)
+            hz_d = elm_d * hsd_d * z_d + (1.0 - elm_d) * hzf_d
+            bot_d = A_d @ x - hz_d + (V_d @ t if nw else 0.0)
+            ext_p = (
+                jax.lax.psum(V_d.T @ (z_d * elm_d), axis) if nw
+                else jnp.zeros(nw)
+            )
+            return top_p, bot_d, ext_p
+
+        top0, bot, ext0 = smap(
+            lambda A_d, V_d, hsd_d, z_d, hzf_d, elm_d: local(
+                A_d, V_d, hsd_d, z_d, hzf_d, elm_d, x, t
+            ),
+            in_specs=(rowmat, rowmat, rowvec, rowvec, rowvec, rowvec),
+            out_specs=(repl, rowvec, repl),
+        )(fac["A"], fac["V"], fac["hs_diag"], z, hz_full, el_mask)
+        top = fac["Pm"] @ x + top0
+        ext = ext0 + fac["E"] * t if nw else jnp.zeros(0)
+        return top, bot, ext
 
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, ...]:
-        x, z = _raw_solve(fac, rx, rz)
+        x, z, t = _raw_solve(fac, rx, rz)
         if not ir_enable:
             ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(z))
             return x, z, ok, jnp.asarray(0)
@@ -220,42 +349,44 @@ def make_arrow_kkt(n: int, m: int, settings, layout, mesh: Mesh,
         normb = jnp.maximum(_inf_norm(rx), _inf_norm(rz))
         tol = ir_abstol + ir_reltol * normb
 
-        def residual(x, z):
-            tx, tz = _kkt_matvec(fac, x, z)
-            return rx - tx, rz - tz
+        def residual(x, z, t):
+            tx, tz, tt = _kkt_matvec(fac, x, z, t)
+            return rx - tx, rz - tz, -tt
 
-        ex0, ez0 = residual(x, z)
-        norme0 = jnp.maximum(_inf_norm(ex0), _inf_norm(ez0))
+        def errnorm(ex, ez, et):
+            return jnp.max(jnp.stack([
+                _inf_norm(ex), _inf_norm(ez), _inf_norm(et),
+            ]))
+
+        ex0, ez0, et0 = residual(x, z, t)
+        norme0 = errnorm(ex0, ez0, et0)
         ok0 = jnp.isfinite(norme0)
 
         def cond(c):
-            _, _, _, _, norme, i, stop, ok = c
+            _, _, _, _, _, _, norme, i, stop, ok = c
             return (~stop) & ok & (i < ir_maxiter) & (norme > tol)
 
         def body(c):
-            x, z, ex, ez, norme, i, _, _ = c
-            dx, dz = _raw_solve(fac, ex, ez)
-            xn, zn = x + dx, z + dz
-            exn, ezn = residual(xn, zn)
-            normen = jnp.maximum(_inf_norm(exn), _inf_norm(ezn))
+            x, z, t, ex, ez, et, norme, i, _, _ = c
+            dx, dz, dt = _raw_solve(fac, ex, ez, et)
+            xn, zn, tn = x + dx, z + dz, t + dt
+            exn, ezn, etn = residual(xn, zn, tn)
+            normen = errnorm(exn, ezn, etn)
             okn = jnp.isfinite(normen)
             ratio = norme / jnp.where(normen > 0, normen, 1e-300)
             accept = ratio > 1.0
             keep = ratio > min(ir_stopratio, 1.2)
             pick = lambda a, b_: jnp.where(accept, a, b_)
             return (
-                pick(xn, x), pick(zn, z), pick(exn, ex), pick(ezn, ez),
+                pick(xn, x), pick(zn, z), pick(tn, t),
+                pick(exn, ex), pick(ezn, ez), pick(etn, et),
                 pick(normen, norme), i + 1, ~keep, okn,
             )
 
-        x, z, _, _, norme, nir, _, ok = jax.lax.while_loop(
-            cond, body, (x, z, ex0, ez0, norme0, 0, False, ok0)
+        x, z, t, _, _, _, norme, nir, _, ok = jax.lax.while_loop(
+            cond, body,
+            (x, z, t, ex0, ez0, et0, norme0, 0, False, ok0),
         )
         return x, z, ok & jnp.isfinite(norme), nir
 
-    def factorize_with_data(Pm, A, Hs):
-        fac, ok = factorize(Pm, A, Hs)
-        fac["P"] = Pm
-        return fac, ok
-
-    return factorize_with_data, solve
+    return factorize, solve

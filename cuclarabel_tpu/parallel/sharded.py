@@ -35,77 +35,22 @@ from ..statuscodes import SolverStatus
 
 
 def _pack_rows_for_mesh(cones, ndev):
-    """Row-permutation plan making every non-elementwise cone block
-    shard-local on an ndev-way row mesh.
+    """Pad the constraint rows so m divides the ndev-way row mesh.
 
-    Returns (src_rows, new_cones): src_rows[t] = original row feeding
-    new position t, or -1 for an inert padding row (NN, b = 1);
-    new_cones is the cone list in the new row order."""
-    # expand cones into items: elementwise rows are freely movable
-    blocks = []   # (size, orig_start, spec)
-    free = []     # (orig_row, 'nn' | 'zero')
-    ofs = 0
-    for c in cones:
-        d = api.nvars(c)
-        if isinstance(c, api.NonnegativeConeT):
-            free.extend((ofs + i, "nn") for i in range(d))
-        elif isinstance(c, api.ZeroConeT):
-            free.extend((ofs + i, "zero") for i in range(d))
-        else:
-            blocks.append((d, ofs, c))
-        ofs += d
-    m = ofs
-    maxb = max((d for d, _, _ in blocks), default=1)
-    m_loc = max(-(-m // ndev), maxb)
-
-    while True:
-        bins = [[] for _ in range(ndev)]   # entries: ('blk',i) | orig row | -1
-        fill = [0] * ndev
-        bi = 0
-        ok = True
-        for i, (d, _, _) in enumerate(blocks):
-            while bi < ndev and fill[bi] + d > m_loc:
-                bi += 1
-            if bi >= ndev:
-                ok = False
-                break
-            bins[bi].append(("blk", i))
-            fill[bi] += d
-        if ok:
-            it = iter(free)
-            for t in range(ndev):
-                while fill[t] < m_loc:
-                    row = next(it, None)
-                    if row is None:
-                        bins[t].append(("pad", None))
-                    else:
-                        bins[t].append(("free", row))
-                    fill[t] += 1
-            if list(it):  # free rows left over: capacity too small
-                ok = False
-        if ok:
-            break
-        m_loc += 1
-
-    src_rows = []
-    new_cones = []
-    for t in range(ndev):
-        for kind, val in bins[t]:
-            if kind == "blk":
-                d, start, spec = blocks[val]
-                src_rows.extend(range(start, start + d))
-                new_cones.append(spec)
-            elif kind == "free":
-                orig, fam = val
-                src_rows.append(orig)
-                new_cones.append(
-                    api.NonnegativeConeT(1) if fam == "nn"
-                    else api.ZeroConeT(1)
-                )
-            else:  # padding
-                src_rows.append(-1)
-                new_cones.append(api.NonnegativeConeT(1))
-    return np.asarray(src_rows, dtype=np.int64), new_cones
+    The arrow backend needs no cone-block locality (diagonal rows are
+    eliminated in place; dense-block and expansion structure is
+    gathered into the replicated saddle), so the original row order is
+    kept and inert padding rows (0*x + s = 1 -> s = 1, z = 0) are
+    appended.  Returns (src_rows, new_cones): src_rows[t] = original
+    row feeding new position t, or -1 for a padding row."""
+    m = sum(api.nvars(c) for c in cones)
+    pad = (-m) % ndev
+    src_rows = np.concatenate([
+        np.arange(m, dtype=np.int64),
+        np.full(pad, -1, dtype=np.int64),
+    ])
+    new_cones = list(cones) + [api.NonnegativeConeT(1)] * pad
+    return src_rows, new_cones
 
 
 class ShardedSolver:
@@ -190,22 +135,15 @@ class ShardedSolver:
             if _resolve_factor_dtype(settings, self.layout) == "float32"
             else jnp.float64
         )
-        # Explicit block-arrow Schur partitioning (kkt/arrow.py) for
-        # diagonal-Hs (Zero/NN) layouts, where the normal-equations
-        # reduction is robust under refinement.  Cone classes with
-        # near-degenerate Hs directions (SOC/PSD/exp/pow) put ~1/mu^2
-        # low-rank spikes into the Schur complement that defeat the
-        # pivot-free f64 preconditioner near convergence — those fall
-        # back to GSPMD inference over the dense backend until the
-        # rank-2/rank-3 expansions are routed into the arrow saddle.
-        from ..cones import ops as cone_ops
-
+        # Explicit block-arrow Schur partitioning (kkt/arrow.py):
+        # diagonal Hs rows (NN + expanded-SOC + GenPow diagonals) are
+        # eliminated per device; SOC rank-2 / GenPow rank-3 expansion
+        # vectors and zero/exp/pow/small-SOC rows live in the
+        # replicated reduced saddle.  Only PSD layouts (dense svec Hs
+        # blocks with no low-rank expansion) fall back to GSPMD
+        # inference over the dense backend.
         self.tp_mode = "arrow"
         try:
-            if not cone_ops.hs_is_diagonal(self.layout):
-                raise ValueError(
-                    "arrow TP is limited to Zero/Nonnegative layouts"
-                )
             base = make_solve_fn(
                 self.layout, settings, n, m, self._has_P, factor_dtype,
                 raw=True, mesh=mesh, mesh_axis="row",

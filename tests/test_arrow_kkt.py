@@ -1,6 +1,8 @@
 """Block-arrow tensor-parallel KKT backend (kkt/arrow.py): proves the
 factorization actually partitions across the mesh (VERDICT round-1
-weak #3) and matches the dense backend numerically."""
+weak #3), matches dense f64 solves for every supported cone family
+(NN, zero, small + expanded SOC, exp/pow, GenPow), and drives
+ShardedSolver end-to-end."""
 
 import numpy as np
 import pytest
@@ -10,6 +12,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from cuclarabel_tpu.cones import api
+from cuclarabel_tpu.cones import ops as cone_ops
 from cuclarabel_tpu.cones.layout import build_layout
 from cuclarabel_tpu.kkt.arrow import make_arrow_kkt
 from cuclarabel_tpu.settings import Settings
@@ -31,42 +34,99 @@ def test_arrow_factor_shards_and_solves():
     A = rng.standard_normal((m, n))
     G = rng.standard_normal((n, n)) / np.sqrt(n)
     Pm = G @ G.T
-    Hs = np.diag(rng.uniform(0.5, 2.0, m))
+    hd = rng.uniform(0.5, 2.0, m)
     layout = build_layout((api.NonnegativeConeT(m),))
     settings = Settings()
 
     factorize, solve = make_arrow_kkt(n, m, settings, layout, mesh)
+    assert factorize.structured_hs
 
     @jax.jit
-    def run(Pm, A, Hs, rx, rz):
-        fac, ok = factorize(Pm, A, Hs)
+    def run(Pm, A, hd, rx, rz):
+        fac, ok = factorize(Pm, A, (hd, jnp.zeros(0), [], []))
         x, z, oks, nir = solve(fac, rx, rz)
-        return fac["Hinv"], x, z, ok & oks, nir
+        return fac["dinv"], x, z, ok & oks, nir
 
     rx = rng.standard_normal(n)
     rz = rng.standard_normal(m)
-    Hinv, x, z, ok, nir = run(
-        jnp.asarray(Pm), jnp.asarray(A), jnp.asarray(Hs),
+    dinv, x, z, ok, nir = run(
+        jnp.asarray(Pm), jnp.asarray(A), jnp.asarray(hd),
         jnp.asarray(rx), jnp.asarray(rz),
     )
     assert bool(ok)
 
-    # --- the factor is genuinely partitioned: H^{-1} is row-sharded,
-    # holding only each device's (m_loc, m_loc) diagonal block
-    spec = Hinv.sharding.spec
-    assert spec and spec[0] == "row", f"H^-1 not row-sharded: {spec}"
-    assert Hinv.shape == (m, m // NDEV)
-    shard_shapes = {s.data.shape for s in Hinv.addressable_shards}
-    assert shard_shapes == {(m // NDEV, m // NDEV)}
+    # --- the eliminated factor is genuinely partitioned: the diagonal
+    # reciprocal is row-sharded, one m/8 slice per device
+    spec = dinv.sharding.spec
+    assert spec and spec[0] == "row", f"dinv not row-sharded: {spec}"
+    shard_shapes = {s.data.shape for s in dinv.addressable_shards}
+    assert shard_shapes == {(m // NDEV,)}
 
-    # --- numerics match a dense f64 solve of the regularized system
-    eps = settings.static_regularization_constant
-    K = np.block([[Pm + eps * np.eye(n), A.T], [A, -(Hs + eps * np.eye(m))]])
+    # --- numerics match a dense f64 solve of the unregularized system
     ref = np.linalg.solve(
-        np.block([[Pm, A.T], [A, -Hs]]), np.concatenate([rx, rz])
+        np.block([[Pm, A.T], [A, -np.diag(hd)]]), np.concatenate([rx, rz])
     )
     got = np.concatenate([np.asarray(x), np.asarray(z)])
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_arrow_structured_mixed_cones():
+    """Expanded SOC (rank-2 columns), small SOC / exp (explicit
+    blocks), GenPow (rank-3 columns), zero and NN rows all at once,
+    with cone blocks straddling shard boundaries — against a dense
+    solve of the same KKT built from assemble_Hs_dense."""
+    mesh = _mesh()
+    rng = np.random.default_rng(1)
+    cones = (
+        api.ZeroConeT(3),
+        api.NonnegativeConeT(8),
+        api.SecondOrderConeT(8),     # > 4: rank-2 expanded
+        api.SecondOrderConeT(3),     # small: explicit dense block
+        api.ExponentialConeT(),
+        api.GenPowerConeT([0.3, 0.7], 2),
+        api.NonnegativeConeT(3),
+    )
+    layout = build_layout(cones)
+    m = layout.m
+    assert m % NDEV == 0, m
+    n = 10
+    A = rng.standard_normal((m, n))
+    G = rng.standard_normal((n, n)) / np.sqrt(n)
+    Pm = G @ G.T + 0.1 * np.eye(n)
+    settings = Settings()
+
+    # interior scaling point: unit initialization plus a jitter that
+    # keeps s, z strictly inside each cone
+    z0, s0 = cone_ops.unit_initialization(layout)
+    s = jnp.asarray(s0) * jnp.asarray(rng.uniform(0.9, 1.1, m))
+    z = jnp.asarray(z0) * jnp.asarray(rng.uniform(0.9, 1.1, m))
+    mu = (s @ z) / (layout.degree + 1)
+    state, ok_s = cone_ops.update_scaling(layout, s, z, mu, 1)
+    assert bool(ok_s)
+
+    plan = cone_ops.sparse_hs_plan(layout)
+    hs_parts = cone_ops.sparse_hs_values(layout, state, plan)
+    Hs_dense = np.asarray(cone_ops.assemble_Hs_dense(layout, state))
+
+    factorize, solve = make_arrow_kkt(n, m, settings, layout, mesh)
+
+    @jax.jit
+    def run(Pm, A, rx, rz):
+        fac, ok = factorize(Pm, A, hs_parts)
+        x, z_, oks, nir = solve(fac, rx, rz)
+        return x, z_, ok & oks, nir
+
+    rx = rng.standard_normal(n)
+    rz = rng.standard_normal(m)
+    x, z_, ok, nir = run(
+        jnp.asarray(Pm), jnp.asarray(A), jnp.asarray(rx), jnp.asarray(rz)
+    )
+    assert bool(ok)
+
+    K = np.block([[Pm, A.T], [A, -Hs_dense]])
+    ref = np.linalg.solve(K, np.concatenate([rx, rz]))
+    got = np.concatenate([np.asarray(x), np.asarray(z_)])
+    np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-7)
 
 
 def test_sharded_solver_arrow_end_to_end():
@@ -79,7 +139,7 @@ def test_sharded_solver_arrow_end_to_end():
         pytest.skip("needs 8 virtual devices")
     rng = np.random.default_rng(1)
     n = 6
-    mrows = 24  # -> 24 rows; padded to 24 (already divides 8? 24/8=3 ok)
+    mrows = 24
     A = np.vstack([np.ones((1, n)), -np.eye(n), rng.standard_normal((mrows - n - 1, n))])
     b = np.concatenate([[1.0], np.zeros(n), np.abs(rng.standard_normal(mrows - n - 1)) + 1.0])
     q = -rng.random(n)
@@ -95,10 +155,12 @@ def test_sharded_solver_arrow_end_to_end():
     assert np.isclose(sol.obj_val, ref.obj_val, atol=1e-8)
 
 
-def test_sharded_solver_straddling_block_falls_back():
-    """A SOC block crossing a shard boundary cannot partition; the
-    solver falls back to GSPMD and still solves."""
+def test_sharded_solver_straddling_soc_stays_arrow():
+    """A rank-2-expanded SOC block crossing shard boundaries now rides
+    the arrow saddle (round-2 known-gap closed): no GSPMD fallback,
+    and the solution matches the single-device solver."""
     from cuclarabel_tpu.parallel.sharded import ShardedSolver
+    from cuclarabel_tpu.solver import Solver
 
     if len(jax.devices()) < NDEV:
         pytest.skip("needs 8 virtual devices")
@@ -114,8 +176,66 @@ def test_sharded_solver_straddling_block_falls_back():
     b = np.concatenate([np.zeros(2), [2.0], np.zeros(13)])
     q = np.ones(n)
     cones = [api.NonnegativeConeT(2), api.SecondOrderConeT(14)]
+    ss = ShardedSolver(None, q, A, b, cones, n_devices=NDEV)
+    assert ss.tp_mode == "arrow"
+    sol = ss.solve()
+    assert sol.status == SolverStatus.SOLVED
+
+    ref = Solver(None, q, A, b, cones, presolve_enable=False).solve()
+    np.testing.assert_allclose(sol.x, ref.x, atol=1e-6)
+    assert np.isclose(sol.obj_val, ref.obj_val, atol=1e-7)
+
+
+def test_sharded_solver_exp_cone_arrow():
+    """Nonsymmetric (exp-cone) problems ride the arrow saddle with the
+    3x3 Hs blocks kept explicit.  max of x s.t. exp(x) <= y <= e."""
+    from cuclarabel_tpu.parallel.sharded import ShardedSolver
+    from cuclarabel_tpu.solver import Solver
+
+    if len(jax.devices()) < NDEV:
+        pytest.skip("needs 8 virtual devices")
+    n = 2
+    # vars (x, y): exp cone (x, 1, y); y <= e
+    A = np.array([
+        [-1.0, 0.0],
+        [0.0, 0.0],
+        [0.0, -1.0],
+        [0.0, 1.0],
+    ])
+    b = np.array([0.0, 1.0, 0.0, np.e])
+    q = np.array([-1.0, 0.0])
+    cones = [api.ExponentialConeT(), api.NonnegativeConeT(1)]
+
+    ss = ShardedSolver(None, q, A, b, cones, n_devices=NDEV)
+    assert ss.tp_mode == "arrow"
+    sol = ss.solve()
+    assert sol.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(sol.x, [1.0, np.e], atol=1e-6)
+
+    ref = Solver(None, q, A, b, cones, presolve_enable=False).solve()
+    assert np.isclose(sol.obj_val, ref.obj_val, atol=1e-7)
+
+
+def test_sharded_solver_psd_falls_back():
+    """PSD layouts (dense svec Hs, no low-rank expansion) fall back to
+    GSPMD partitioning and still solve."""
+    from cuclarabel_tpu.parallel.sharded import ShardedSolver
+
+    if len(jax.devices()) < NDEV:
+        pytest.skip("needs 8 virtual devices")
+    # min tr(X) s.t. X11 = 1, X PSD (2x2 svec dim 3) + NN padding
+    sq2 = np.sqrt(2.0)
+    n = 3  # svec vars
+    A = np.vstack([
+        np.array([[1.0, 0.0, 0.0]]),     # X11 = 1
+        -np.eye(3),                       # svec(X) in PSD cone
+    ])
+    b = np.array([1.0, 0.0, 0.0, 0.0])
+    q = np.array([1.0, 0.0, 1.0])        # tr(X) in svec coords
+    cones = [api.ZeroConeT(1), api.PSDTriangleConeT(2)]
     with pytest.warns(UserWarning, match="arrow TP backend unavailable"):
         ss = ShardedSolver(None, q, A, b, cones, n_devices=NDEV)
     assert ss.tp_mode == "gspmd"
     sol = ss.solve()
     assert sol.status == SolverStatus.SOLVED
+    assert np.isclose(sol.obj_val, 1.0, atol=1e-6)
