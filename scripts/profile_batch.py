@@ -136,12 +136,14 @@ def main():
                 f_scal = jax.jit(jax.vmap(scal_fn))
                 t_scal, _ = timeit(f_scal, sS, zS, muB)
 
-                # cone step-length search (2 calls per iteration)
-                scal_state, _ = jax.vmap(
+                # cone step-length search (2 calls per iteration).
+                # NB: must be jitted — an eager vmap through the axon
+                # tunnel dispatches per-op at ~26 ms each.
+                scal_state, _ = jax.jit(jax.vmap(
                     lambda s_, z_, mu_: cone_ops.update_scaling(
                         layout, s_, z_, mu_, 0
                     )
-                )(sS, zS, muB)
+                ))(sS, zS, muB)
                 dzS = jax.random.normal(key, (B, m), dtype=jnp.float64)
                 dsS = jax.random.normal(key, (B, m), dtype=jnp.float64)
 
