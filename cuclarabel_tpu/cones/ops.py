@@ -382,8 +382,9 @@ def sparse_hs_plan(layout: ConeLayout):
 
     Returns numpy dict:
       blk_rows/blk_cols: (r,) z-block coordinates (row <= col) of the
-        dense-block entries — small SOC blocks and exp/pow 3x3 blocks —
-        ordered [small SOCs (cone, col-major upper)] ++ [exp] ++ [pow];
+        dense-block entries — small SOC blocks, exp/pow 3x3 blocks and
+        PSD svec blocks — ordered [small SOCs (cone, col-major upper)]
+        ++ [exp] ++ [pow] ++ [PSD groups by side length];
       soc_small_*: gather plans for the SOC entries;
       socx_*: per EXPANDED SOC (dim > 4): member rows, flat w range;
     Value convention: values are the raw Hs entries; the assembly
@@ -440,6 +441,34 @@ def sparse_hs_plan(layout: ConeLayout):
                     p_a.append(i)
                     p_b.append(j)
 
+    # PSD svec blocks (Hs = skron(RR'), dense (sd, sd) per cone): the
+    # sparse path carries them exactly like the exp/pow blocks, which
+    # is what makes chordally-decomposed SDPs (many small cliques)
+    # sparse-KKT-able (reference: any Hs block enters the triu
+    # assembly, directldl_kkt_assembly.jl:15-175)
+    psd_groups_plan = []
+    if layout.has_psd:
+        for r in sorted(layout.psd_groups):
+            idx = layout.psd_groups[r]
+            k, sd = idx.shape
+            a_ut, b_ut = [], []
+            for jj in range(sd):
+                for ii in range(jj + 1):
+                    a_ut.append(ii)
+                    b_ut.append(jj)
+            a_ut = np_.asarray(a_ut, dtype=np_.int64)
+            b_ut = np_.asarray(b_ut, dtype=np_.int64)
+            for c in range(k):
+                rows = idx[c]
+                blk_rows.extend(int(rows[i]) for i in a_ut)
+                blk_cols.extend(int(rows[j]) for j in b_ut)
+            psd_groups_plan.append((
+                r,
+                np_.repeat(np_.arange(k), a_ut.shape[0]),
+                np_.tile(a_ut, k),
+                np_.tile(b_ut, k),
+            ))
+
     gpx_rows1, gpx_rows2, gpx_cone = [], [], []
     if layout.has_genpow:
         for c in range(layout.ngp):
@@ -465,6 +494,7 @@ def sparse_hs_plan(layout: ConeLayout):
         "pow_cone": ii(p_cone, dtype=np_.int64),
         "pow_a": ii(p_a, dtype=np_.int64),
         "pow_b": ii(p_b, dtype=np_.int64),
+        "psd_groups": psd_groups_plan,
         "socx_rows": socx_rows,
         "socx_wpos": socx_wpos,
         "socx_cone": ii(socx_cone, dtype=np_.int64),
@@ -508,6 +538,14 @@ def sparse_hs_values(layout: ConeLayout, state: ScalingState, plan):
         vals.append(
             state["pow_Hs"][plan["pow_cone"], plan["pow_a"], plan["pow_b"]]
         )
+    if plan["psd_groups"]:
+        from . import psd as psdcone
+
+        for r, cone_rep, a_t, b_t in plan["psd_groups"]:
+            R = state[f"psd{r}_R"]
+            RRt = R @ jnp.swapaxes(R, 1, 2)
+            Hs_g = psdcone._skron(RRt, r)
+            vals.append(Hs_g[cone_rep, a_t, b_t])
     blk_vals = (
         jnp.concatenate(vals) if vals else jnp.zeros(0)
     )

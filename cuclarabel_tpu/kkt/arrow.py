@@ -46,9 +46,10 @@ leaves the replicated reduced saddle
 
 which is a Schur complement of a quasidefinite matrix and therefore
 factors pivot-free in any symmetric order (Vanderbei 1995); the SPD
-block S leads for stability.  PSD cones (large dense svec blocks with
-no low-rank expansion) are not supported — ShardedSolver falls back to
-GSPMD partitioning of the dense backend for those layouts.
+block S leads for stability.  PSD cones ride the same explicit-row
+path (their svec Hs blocks enter Hex like the exp/pow blocks); this
+is exact but replicates O(svec dim) saddle rows per cone, so it pays
+off for chordally-decomposed SDPs with small cliques.
 
 Residual refinement against the full distributed augmented operator
 restores reference accuracy (static-reg + refinement architecture,
@@ -82,11 +83,6 @@ def make_arrow_kkt(n: int, m: int, settings, layout, mesh: Mesh,
     gpx) tuple as the sparse backends (cones/ops.py sparse_hs_values);
     the returned factorize carries `structured_hs = True` so the IPM
     loop selects that assembly."""
-    if layout.has_psd:
-        raise ValueError(
-            "arrow TP does not support PSD layouts (no low-rank "
-            "expansion of the svec Hs block); use the GSPMD dense path"
-        )
     ndev = mesh.shape[axis]
     if m % ndev != 0:
         raise ValueError(f"m={m} must divide the {ndev}-device mesh")

@@ -151,12 +151,6 @@ class SparseSolver:
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
-        if self.layout.has_psd:
-            raise ValueError(
-                "SparseSolver supports Zero/Nonnegative/SOC/exp/pow/"
-                "GenPow cones; PSD stays on the dense path (use Solver; "
-                "chordal decomposition shrinks big PSD blocks there)"
-            )
 
         b = np.minimum(b, get_infinity())
         normq = float(np.abs(q).max()) if n else 0.0

@@ -71,7 +71,7 @@ def test_arrow_factor_shards_and_solves():
 
 
 def test_arrow_structured_mixed_cones():
-    """Expanded SOC (rank-2 columns), small SOC / exp (explicit
+    """Expanded SOC (rank-2 columns), small SOC / exp / PSD (explicit
     blocks), GenPow (rank-3 columns), zero and NN rows all at once,
     with cone blocks straddling shard boundaries — against a dense
     solve of the same KKT built from assemble_Hs_dense."""
@@ -84,7 +84,8 @@ def test_arrow_structured_mixed_cones():
         api.SecondOrderConeT(3),     # small: explicit dense block
         api.ExponentialConeT(),
         api.GenPowerConeT([0.3, 0.7], 2),
-        api.NonnegativeConeT(3),
+        api.PSDTriangleConeT(2),     # svec dim 3: explicit dense block
+        api.NonnegativeConeT(8),
     )
     layout = build_layout(cones)
     m = layout.m
@@ -216,16 +217,14 @@ def test_sharded_solver_exp_cone_arrow():
     assert np.isclose(sol.obj_val, ref.obj_val, atol=1e-7)
 
 
-def test_sharded_solver_psd_falls_back():
-    """PSD layouts (dense svec Hs, no low-rank expansion) fall back to
-    GSPMD partitioning and still solve."""
+def test_sharded_solver_psd_arrow():
+    """PSD layouts ride the arrow saddle with their svec Hs blocks
+    kept explicit (every cone family is TP-able)."""
     from cuclarabel_tpu.parallel.sharded import ShardedSolver
 
     if len(jax.devices()) < NDEV:
         pytest.skip("needs 8 virtual devices")
-    # min tr(X) s.t. X11 = 1, X PSD (2x2 svec dim 3) + NN padding
-    sq2 = np.sqrt(2.0)
-    n = 3  # svec vars
+    # min tr(X) s.t. X11 = 1, X PSD (2x2 svec dim 3)
     A = np.vstack([
         np.array([[1.0, 0.0, 0.0]]),     # X11 = 1
         -np.eye(3),                       # svec(X) in PSD cone
@@ -233,9 +232,8 @@ def test_sharded_solver_psd_falls_back():
     b = np.array([1.0, 0.0, 0.0, 0.0])
     q = np.array([1.0, 0.0, 1.0])        # tr(X) in svec coords
     cones = [api.ZeroConeT(1), api.PSDTriangleConeT(2)]
-    with pytest.warns(UserWarning, match="arrow TP backend unavailable"):
-        ss = ShardedSolver(None, q, A, b, cones, n_devices=NDEV)
-    assert ss.tp_mode == "gspmd"
+    ss = ShardedSolver(None, q, A, b, cones, n_devices=NDEV)
+    assert ss.tp_mode == "arrow"
     sol = ss.solve()
     assert sol.status == SolverStatus.SOLVED
     assert np.isclose(sol.obj_val, 1.0, atol=1e-6)

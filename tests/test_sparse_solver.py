@@ -159,11 +159,37 @@ def test_sparse_genpow_rank3_expansion():
     np.testing.assert_allclose(s_sp.x, s_dn.x, atol=1e-6)
 
 
-def test_sparse_rejects_psd():
-    A = sp.eye(3).tocsc()
-    with pytest.raises(ValueError, match="PSD"):
-        SparseSolver(None, np.zeros(3), A, np.ones(3),
-                     [api.PSDTriangleConeT(2)])
+def test_sparse_sdp_blocks():
+    """Small PSD cones ride the sparse path as dense svec Hs blocks
+    (the chordal-clique shape).  Block-diagonal SDP: two independent
+    2x2 trace-minimization blocks + a coupling simplex on the
+    diagonals."""
+    rng = np.random.default_rng(11)
+    sd = 3  # svec dim of a 2x2 block
+    n = 2 * sd
+    # min <C, X1> + <C, X2>  s.t.  diag sums fixed, X1, X2 PSD
+    C1 = np.array([1.0, 0.3, 1.5])   # svec coords of symmetric C
+    C2 = np.array([2.0, -0.2, 0.7])
+    q = np.concatenate([C1, C2])
+    # equality: tr(X1) = 1, tr(X2) = 1  (svec diag entries at 0, 2)
+    tr_row = np.array([1.0, 0.0, 1.0])
+    Aeq = np.zeros((2, n))
+    Aeq[0, :sd] = tr_row
+    Aeq[1, sd:] = tr_row
+    beq = np.array([1.0, 1.0])
+    A = sp.csc_matrix(np.vstack([Aeq, -np.eye(n)]))
+    b = np.concatenate([beq, np.zeros(n)])
+    cones = [api.ZeroConeT(2), api.PSDTriangleConeT(2),
+             api.PSDTriangleConeT(2)]
+
+    s_sp = SparseSolver(None, q, A, b, cones).solve()
+    s_dn = Solver(None, q, A.toarray(), b, cones,
+                  presolve_enable=False).solve()
+    assert s_sp.status == SolverStatus.SOLVED
+    assert s_dn.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(s_sp.x, s_dn.x, atol=1e-6)
+    assert np.isclose(s_sp.obj_val, s_dn.obj_val, atol=1e-7)
+    assert s_sp.r_prim < 1e-8 and s_sp.r_dual < 1e-8
 
 
 def test_sparse_update_data_resolve():
