@@ -11,8 +11,10 @@ Use it when the dense path's O(N^2) memory is the binding constraint
 
 Cones: Zero/NN (diagonal Hs), SOC (dense blocks to dim 4, rank-2
 sparse expansion above), exp/pow (3x3 blocks), GenPow (rank-3
-expansion).  Presolve runs before pattern analysis (so it composes);
-no chordal step (PSD stays on the dense path)."""
+expansion), PSD (dense svec blocks — pair big cones with chordal
+decomposition so blocks stay clique-sized).  Presolve and chordal
+decomposition run before pattern analysis, so both compose with the
+sparse path."""
 
 import time
 from typing import Optional, Sequence
@@ -111,7 +113,7 @@ def sparse_ruiz_equilibrate(P, A, q, b, layout, settings):
 
 class SparseSolver:
     """min (1/2)x'Px + q'x  s.t.  Ax + s = b, s in K, with P, A scipy
-    sparse (every cone class except PSD)."""
+    sparse (every cone class)."""
 
     def __init__(self, P, q, A, b, cones: Sequence[api.SupportedCone],
                  settings: Optional[Settings] = None, **kwargs):
@@ -148,6 +150,34 @@ class SparseSolver:
                 np.zeros(self.presolver.mfull), cones
             )
             m = b.shape[0]
+
+        # chordal decomposition of PSD cones (problemdata.jl:40-45):
+        # big chordally-sparse PSD blocks become many clique-sized PSD
+        # cones, which enter the multifrontal KKT as small dense Hs
+        # blocks.  The graph analysis and augmentation run host-side on
+        # a temporarily densified copy (setup-only cost).
+        self.chordal_info = None
+        if settings.chordal_decomposition_enable and any(
+            isinstance(c, api.PSDTriangleConeT) for c in cones
+        ):
+            from .chordal import ChordalInfo, decomp_augment
+
+            Ad = sp.csc_matrix(A).toarray()
+            info = ChordalInfo(Ad, b, cones, settings)
+            if info.is_decomposed():
+                Pd = (
+                    sp.csc_matrix(P).toarray()
+                    if P is not None else np.zeros((n, n))
+                )
+                Pd, q, Ad, b, cones = decomp_augment(
+                    info, Pd, q, Ad, b, settings
+                )
+                n = q.shape[0]
+                m = b.shape[0]
+                P = sp.csc_matrix(Pd) if np.any(Pd) else None
+                A = sp.csc_matrix(Ad)
+                self.chordal_info = info
+
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
@@ -205,6 +235,10 @@ class SparseSolver:
         if self.presolver is not None:
             raise ValueError(
                 "Data updates not allowed if presolver is active."
+            )
+        if self.chordal_info is not None:
+            raise ValueError(
+                "Data updates not allowed after chordal decomposition."
             )
 
     def _vals_for_pattern(self, M, rows, cols, what):
@@ -309,14 +343,23 @@ class SparseSolver:
         solve_time = time.perf_counter() - t0
 
         self.info = {k: out[k] for k in out}
+        x_out = np.asarray(out["x"])
         s_out = np.asarray(out["s"])
         z_out = np.asarray(out["z"])
+        # reverse chordal decomposition (solution.jl:30-34), then
+        # reverse presolve — same order as the dense Solver
+        if self.chordal_info is not None:
+            from .chordal import decomp_reverse
+
+            x_out, s_out, z_out = decomp_reverse(
+                self.chordal_info, x_out, s_out, z_out, self.settings
+            )
         if self.presolver is not None:
             s_out, z_out = presolve_mod.reverse_presolve(
                 self.presolver, s_out, z_out
             )
         self.solution = DefaultSolution(
-            x=np.asarray(out["x"]),
+            x=x_out,
             z=z_out,
             s=s_out,
             status=SolverStatus(int(out["status"])),

@@ -192,6 +192,35 @@ def test_sparse_sdp_blocks():
     assert s_sp.r_prim < 1e-8 and s_sp.r_dual < 1e-8
 
 
+def test_sparse_sdp_chordal():
+    """A chordally-sparse SDP decomposes into clique-sized PSD blocks
+    and solves through the multifrontal path, matching the dense
+    Solver (reference fixture: test/OptTests/sdp_chordal.jl)."""
+    from test_sdp_chordal import sdp_chordal_data
+
+    P, q, A, b, cones = sdp_chordal_data()
+    kw = dict(
+        chordal_decomposition_enable=True,
+        chordal_decomposition_compact=True,
+        chordal_decomposition_complete_dual=True,
+        chordal_decomposition_merge_method="none",
+    )
+    s_sp = SparseSolver(sp.csc_matrix(P), q, sp.csc_matrix(A), b,
+                        cones, **kw)
+    assert s_sp.chordal_info is not None  # decomposition fired
+    sol_sp = s_sp.solve()
+    sol_dn = Solver(P, q, A, b, cones, **kw).solve()
+    assert sol_sp.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(sol_sp.x, sol_dn.x, atol=1e-6)
+    assert np.isclose(sol_sp.obj_val, sol_dn.obj_val, atol=1e-7)
+    # solution vectors are in the ORIGINAL (pre-decomposition) space
+    assert sol_sp.s.shape[0] == b.shape[0]
+    assert sol_sp.z.shape[0] == b.shape[0]
+    # data updates are forbidden after decomposition
+    with pytest.raises(ValueError, match="chordal"):
+        s_sp.update_b(b)
+
+
 def test_sparse_update_data_resolve():
     """Parametric re-solve: same sparsity pattern, new values; reuses
     the symbolic factorization and the compiled program
