@@ -174,12 +174,6 @@ class BatchSparseSolver:
         self.layout = build_layout(tuple(cones))
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
-        if self.layout.has_psd:
-            raise ValueError(
-                "BatchSparseSolver supports Zero/Nonnegative/SOC/exp/"
-                "pow/GenPow cones; PSD stays on the dense path"
-            )
-
         has_P = P is not None and sp.csc_matrix(P).nnz > 0
         self._sp = SparseProblem.from_scipy(P if has_P else None, A)
         self._has_P = has_P

@@ -105,6 +105,34 @@ def test_batch_sparse_socp():
         assert s.obj_val == pytest.approx(ref.obj_val, abs=1e-6)
 
 
+def test_batch_sparse_sdp_blocks():
+    """PSD svec blocks ride the vmapped multifrontal (batched skron /
+    eigh under vmap)."""
+    rng = np.random.default_rng(9)
+    B, sd = 3, 3  # 2x2 PSD blocks, svec dim 3
+    n = 2 * sd
+    tr = np.array([1.0, 0.0, 1.0])
+    Aeq = np.zeros((2, n))
+    Aeq[0, :sd] = tr
+    Aeq[1, sd:] = tr
+    A = sp.csc_matrix(np.vstack([Aeq, -np.eye(n)]))
+    bs = np.tile(np.concatenate([[1.0, 1.0], np.zeros(n)]), (B, 1))
+    qs = np.concatenate(
+        [np.tile([1.0, 0.3, 1.5], (B, 1)),
+         np.tile([2.0, -0.2, 0.7], (B, 1))], axis=1
+    ) + 0.05 * rng.standard_normal((B, n))
+    cones = [api.ZeroConeT(2), api.PSDTriangleConeT(2),
+             api.PSDTriangleConeT(2)]
+    sols = BatchSparseSolver(None, qs, A, bs, cones).solve()
+    for i, s in enumerate(sols):
+        assert s.status.name == "SOLVED"
+        ref = SparseSolver(
+            None, qs[i], A, bs[i], cones,
+            Settings(presolve_enable=False),
+        ).solve()
+        assert s.obj_val == pytest.approx(ref.obj_val, abs=1e-6)
+
+
 def test_batch_shards_over_devices():
     import jax
 
