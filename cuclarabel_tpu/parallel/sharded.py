@@ -138,10 +138,9 @@ class ShardedSolver:
         # Explicit block-arrow Schur partitioning (kkt/arrow.py):
         # diagonal Hs rows (NN + expanded-SOC + GenPow diagonals) are
         # eliminated per device; SOC rank-2 / GenPow rank-3 expansion
-        # vectors and zero/exp/pow/small-SOC rows live in the
-        # replicated reduced saddle.  Only PSD layouts (dense svec Hs
-        # blocks with no low-rank expansion) fall back to GSPMD
-        # inference over the dense backend.
+        # vectors and zero/exp/pow/small-SOC/PSD rows live in the
+        # replicated reduced saddle — every cone family.  The GSPMD
+        # dense-backend fallback remains as a safety net only.
         self.tp_mode = "arrow"
         try:
             base = make_solve_fn(
