@@ -215,6 +215,7 @@ class BatchSolver:
                 raise ValueError(f"expected {(B,) + shape}, got {M.shape}")
             return M
 
+        self._batchify = batchify
         Pd = batchify(P, (n, n))
         Pd = np.triu(Pd) + np.transpose(np.triu(Pd, 1), (0, 2, 1))
         Ad = batchify(A, (m, n))
@@ -244,6 +245,35 @@ class BatchSolver:
             jnp.asarray(q),
             jnp.asarray(b),
         )
+
+    def update_data(self, P=None, q=None, A=None, b=None) -> None:
+        """Parametric re-solves (update_data!, data_updating.jl
+        semantics): equilibration runs on device per solve, so new
+        data is just new runtime arguments — the compiled program is
+        reused, nothing is re-analyzed."""
+        Pd, Ad, qd, bd = self._args
+        if P is not None:
+            Pn = self._batchify(P, (self.n, self.n))
+            Pn = np.triu(Pn) + np.transpose(np.triu(Pn, 1), (0, 2, 1))
+            if bool(np.any(Pn != 0.0)) != self._has_P:
+                raise ValueError(
+                    "update_data cannot change whether P is zero "
+                    "(the compiled program is specialized on it)"
+                )
+            Pd = jnp.asarray(Pn)
+        if A is not None:
+            Ad = jnp.asarray(self._batchify(A, (self.m, self.n)))
+        if q is not None:
+            q = np.asarray(q, dtype=np.float64)
+            if q.shape != (self.B, self.n):
+                raise ValueError("q must be (B, n)")
+            qd = jnp.asarray(q)
+        if b is not None:
+            b = np.asarray(b, dtype=np.float64)
+            if b.shape != (self.B, self.m):
+                raise ValueError("b must be (B, m)")
+            bd = jnp.asarray(b)
+        self._args = (Pd, Ad, qd, bd)
 
     def solve(self):
         import time as _time

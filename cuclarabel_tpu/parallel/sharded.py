@@ -28,6 +28,7 @@ from ..cones import api
 from ..cones.api import cones_collapsed
 from ..cones.layout import build_layout
 from ..equilibration import ruiz_equilibrate
+from ..infinity import get_infinity
 from ..ipm.loop import make_solve_fn
 from ..settings import Settings
 from ..solver import DefaultSolution, _resolve_factor_dtype, _to_dense
@@ -103,6 +104,8 @@ class ShardedSolver:
         A_new[real] = Ad[src_rows[real]]
         b_new[real] = b[src_rows[real]]
         Ad, b = A_new, b_new
+        # cap b at INFINITY (problemdata.jl:58-62)
+        b = np.minimum(b, get_infinity())
         # inverse map for returning s/z in the caller's row order
         self._dst_of_orig = np.zeros(m, dtype=np.int64)
         self._dst_of_orig[src_rows[real]] = np.nonzero(real)[0]
@@ -118,6 +121,7 @@ class ShardedSolver:
         Pd, Ad, qs, bs, d, e, c = ruiz_equilibrate(
             Pd, Ad, q, b, self.layout, settings
         )
+        self._d, self._e, self._c = d, e, c
 
         devices = np.asarray(jax.devices()[:n_devices])
         mesh = Mesh(devices, axis_names=("row",))
@@ -172,6 +176,53 @@ class ShardedSolver:
             for k, v in host.items()
         }
         self.solution: Optional[DefaultSolution] = None
+
+    def _put(self, key, value):
+        self._dev[key] = jax.device_put(
+            np.asarray(value), self._shardings[key]
+        )
+
+    def _pack_rows(self, M, fill):
+        """Apply the mesh row permutation/padding to rows of M."""
+        src = self._src_rows
+        out = np.full((src.shape[0],) + M.shape[1:], fill)
+        real = src >= 0
+        out[real] = M[src[real]]
+        return out
+
+    def update_data(self, P=None, q=None, A=None, b=None) -> None:
+        """Parametric re-solves with the stored equilibration
+        re-applied (update_data!, data_updating.jl:26-158 semantics)
+        and the mesh row packing preserved; the compiled sharded
+        program is reused."""
+        d, e, c = self._d, self._e, self._c
+        if P is not None:
+            Pd = _to_dense(P, (self.n, self.n))
+            Pd = np.triu(Pd) + np.triu(Pd, 1).T
+            if bool(np.any(Pd != 0.0)) != self._has_P:
+                raise ValueError(
+                    "update_data cannot change whether P is zero "
+                    "(the compiled program is specialized on it)"
+                )
+            self._put("P", c * (d[:, None] * Pd * d[None, :]))
+        if A is not None:
+            Ad = self._pack_rows(
+                _to_dense(A, (self._m_orig, self.n)), 0.0
+            )
+            self._put("A", e[:, None] * Ad * d[None, :])
+        if q is not None:
+            q = np.asarray(q, dtype=np.float64).ravel()
+            if q.shape[0] != self.n:
+                raise ValueError("q: wrong length")
+            self._put("q", c * d * q)
+            self._put("normq", np.float64(np.abs(q).max() if self.n else 0.0))
+        if b is not None:
+            b = np.asarray(b, dtype=np.float64).ravel()
+            if b.shape[0] != self._m_orig:
+                raise ValueError("b: wrong length")
+            bp = self._pack_rows(np.minimum(b, get_infinity()), 1.0)
+            self._put("b", e * bp)
+            self._put("normb", np.float64(np.abs(b).max() if b.size else 0.0))
 
     def solve(self) -> DefaultSolution:
         out = jax.device_get(self._fn(self._dev))

@@ -99,3 +99,32 @@ def test_batch_mixed_feasibility():
     assert sols[2].status == cc.SolverStatus.SOLVED
     assert abs(sols[0].obj_val - 1.88) < 1e-2
     assert np.isnan(sols[1].obj_val)
+
+
+def test_batch_update_data_resolves():
+    """BatchSolver.update_data swaps runtime arguments; the compiled
+    batched program is reused for parametric scenario re-solves."""
+    rng = np.random.default_rng(5)
+    B, n = 6, 10
+    F = rng.standard_normal((n, 4))
+    P = F @ F.T + 0.5 * np.eye(n)
+    A = np.vstack([np.ones((1, n)), -np.eye(n)])
+    bs = np.tile(np.concatenate([[1.0], np.zeros(n)]), (B, 1))
+    qs = rng.standard_normal((B, n))
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(n)]
+
+    solver = BatchSolver(P, qs, A, bs, cones)
+    solver.solve()
+
+    qs2 = qs + 0.2 * rng.standard_normal((B, n))
+    solver.update_data(q=qs2)
+    sols = solver.solve()
+    for i in range(B):
+        ref = cc.Solver(P, qs2[i], A, bs[i], cones,
+                        presolve_enable=False).solve()
+        assert sols[i].status == cc.SolverStatus.SOLVED
+        assert abs(sols[i].obj_val - ref.obj_val) < 1e-6
+
+    import pytest
+    with pytest.raises(ValueError, match="P is zero"):
+        solver.update_data(P=np.zeros((n, n)))

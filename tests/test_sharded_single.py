@@ -64,3 +64,34 @@ def test_sharded_pads_nondivisible_m():
     # padding perturbs the equilibration slightly; both solves are at
     # the 1e-8 gap tolerance so compare at 1e-6
     assert abs(sol.obj_val - ref.obj_val) < 1e-6
+
+
+def test_sharded_update_data_resolves():
+    """update_data re-applies the stored equilibration and row packing
+    and re-solves without recompiling (data_updating.jl semantics)."""
+    P, q, A, b, cones = make_problem(seed=3)
+    sh = ShardedSolver(P, q, A, b, cones, n_devices=8)
+    sh.solve()
+
+    rng = np.random.default_rng(7)
+    q2 = q + 0.1 * rng.standard_normal(q.shape[0])
+    b2 = b.copy()
+    b2[-8] = 4.0  # loosen the SOC radius row
+    sh.update_data(q=q2, b=b2)
+    sol = sh.solve()
+    ref = cc.Solver(P, q2, A, b2, cones, presolve_enable=False).solve()
+    assert sol.status == cc.SolverStatus.SOLVED
+    assert abs(sol.obj_val - ref.obj_val) < 1e-6
+    np.testing.assert_allclose(sol.x, ref.x, atol=1e-5)
+
+    # matrix updates too (same pattern; values scaled)
+    P2 = P * 1.5
+    A2 = A.copy()
+    A2[:8] *= 1.1  # scale the equality rows
+    b2b = b2.copy()
+    b2b[:8] *= 1.1
+    sh.update_data(P=P2, A=A2, b=b2b)
+    sol2 = sh.solve()
+    ref2 = cc.Solver(P2, q2, A2, b2b, cones, presolve_enable=False).solve()
+    assert sol2.status == cc.SolverStatus.SOLVED
+    assert abs(sol2.obj_val - ref2.obj_val) < 1e-6
