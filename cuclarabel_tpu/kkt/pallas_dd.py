@@ -32,6 +32,7 @@ in the round-1 integration).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -186,7 +187,12 @@ def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
         xl_ref[j, :] = l
 
 
-UNROLL_MAX = 96  # unrolled kernels past this explode Mosaic compile
+# Unrolled kernels past this size explode Mosaic compile memory; below
+# it they win on runtime but cost minutes of Python TRACING per
+# process (the persistent cache only skips XLA compile, not tracing).
+# Env override for experiments: 0 forces the fori_loop variants
+# everywhere (constant-size IR, seconds to trace).
+UNROLL_MAX = int(os.environ.get("CUCLARABEL_DD_UNROLL_MAX", "96"))
 
 
 def _ldl_kernel_looped(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,

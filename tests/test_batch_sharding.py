@@ -128,3 +128,48 @@ def test_batch_update_data_resolves():
     import pytest
     with pytest.raises(ValueError, match="P is zero"):
         solver.update_data(P=np.zeros((n, n)))
+
+
+def test_batch_dp_has_no_data_collectives():
+    """The dp axis is embarrassingly parallel: the compiled 8-device
+    batched program moves NO problem data between devices.  The only
+    permitted collective is the scalar loop-termination consensus (the
+    vmapped while_loop's OR-reduce over 'all problems done').  This is
+    what makes batch scaling to more chips/hosts near-linear (BASELINE
+    scaling-efficiency target — no communication to lose)."""
+    import re
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(11)
+    B, n = 8, 6
+    A = np.vstack([np.ones((1, n)), -np.eye(n)])
+    bs = np.tile(np.concatenate([[1.0], np.zeros(n)]), (B, 1))
+    qs = rng.standard_normal((B, n))
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(n)]
+    solver = BatchSolver(None, qs, A, bs, cones, n_devices=8)
+    import time as _time
+    import jax.numpy as jnp
+    txt = solver._fn.lower(
+        *solver._args, jnp.asarray(_time.time())
+    ).compile().as_text()
+    for op in ("all-gather", "collective-permute", "reduce-scatter",
+               "all-to-all"):
+        assert op not in txt, f"unexpected {op} in dp program"
+    # all-reduce only on tiny predicate/scalar tuples (loop consensus)
+    for line in txt.splitlines():
+        if "all-reduce" not in line:
+            continue
+        for dtype, dims in re.findall(
+            r"(pred|f32|f64|s32|u32|s8|u8)\[([0-9,]*)\]", line
+        ):
+            nelem = 1
+            for d in dims.split(","):
+                if d:
+                    nelem *= int(d)
+            assert nelem <= 8, f"data-sized all-reduce: {line[:160]}"
+    sols = solver.solve()
+    assert all(s.status == cc.SolverStatus.SOLVED for s in sols)
