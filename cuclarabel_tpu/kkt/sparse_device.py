@@ -389,8 +389,12 @@ def factor(plan: NumericPlan, Kv, bufs, *, reg_enable=True, eps=1e-13,
             Fp = jnp.zeros(kq * fq * wq + 1, dtype=Kv.dtype)
             Fp = Fp.at[xs["p_dst"]].add(vals[xs["p_src"]])
             Fp = Fp[:-1].reshape(kq, fq, wq)
-            # identity-pad the unused column slots
-            Fp = Fp + xs["pad"][:, None, :] * eye_pw.astype(Kv.dtype)
+            # identity-pad the unused column slots (cast: the host pad
+            # buffer is f64; mixing would promote f32 fronts back up)
+            Fp = Fp + (
+                xs["pad"].astype(Kv.dtype)[:, None, :]
+                * eye_pw.astype(Kv.dtype)
+            )
 
             dsign = xs["dsign"].astype(Kv.dtype)
 

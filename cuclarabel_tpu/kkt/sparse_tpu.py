@@ -121,6 +121,13 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     ir_abstol = settings.iterative_refinement_abstol
     ir_maxiter = settings.iterative_refinement_max_iter
     ir_stopratio = settings.iterative_refinement_stop_ratio
+    # sparse "auto" stays f64 (reference-accuracy parity);
+    # "float32" is the explicit MXU-throughput knob, like the dense path
+    factor_dtype = (
+        jnp.float32
+        if settings.kkt_factor_precision == "float32"
+        else jnp.float64
+    )
 
     # ---- K upper pattern + datamaps (host) --------------------------
     # entries: P upper at (i, j); A at (c, n + r); structural diagonal
@@ -284,9 +291,13 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
             Kv_f = Kv.at[bufs["diag_map"]].add(bufs["dsigns"] * eps)
         else:
             Kv_f = Kv
+        # f32 fronts put the factorization's matmuls on the native MXU
+        # path (emulated f64 is ~10x); residuals/refinement stay f64
+        # against the f64 Kv (mixed-precision architecture of the
+        # dense backend, kkt_factor_precision setting)
         fac_mf, ok = mf_factor(
-            plan, Kv_f[bufs["kmap"]], bufs, reg_enable=dyn_enable,
-            eps=dyn_eps, delta=dyn_delta,
+            plan, Kv_f[bufs["kmap"]].astype(factor_dtype), bufs,
+            reg_enable=dyn_enable, eps=dyn_eps, delta=dyn_delta,
         )
         return {"mf": fac_mf, "Kv": Kv, "bufs": bufs}, ok
 
@@ -297,7 +308,9 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     # use identical shapes, so the one cached lowering serves them all.
     @jax.jit
     def _raw(fac, bvec):
-        return mf_solve(plan, fac["mf"], bvec, fac["bufs"])
+        x = mf_solve(plan, fac["mf"], bvec.astype(factor_dtype),
+                     fac["bufs"])
+        return x.astype(jnp.float64)
 
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, ...]:
         # extension rows carry zero RHS (kktsolver_directldl.jl:313-343)

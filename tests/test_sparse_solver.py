@@ -276,3 +276,17 @@ def test_sparse_presolve_roundtrip():
     assert sol.z[3] == 0.0
     with pytest.raises(ValueError, match="presolver"):
         solver.update_q(q)
+
+
+def test_sparse_f32_factor_precision():
+    """kkt_factor_precision='float32' factors the fronts in f32 (native
+    MXU path on TPU) with f64 refinement against the f64 K; solutions
+    still hit the default 1e-8 tolerances on well-conditioned data."""
+    P, q, A, b, cones = _grid_qp(5)
+    s32 = SparseSolver(P, q, A, b, cones,
+                       kkt_factor_precision="float32").solve()
+    s64 = SparseSolver(P, q, A, b, cones).solve()
+    assert s32.status == SolverStatus.SOLVED
+    assert s32.r_prim < 1e-8 and s32.r_dual < 1e-8
+    np.testing.assert_allclose(s32.x, s64.x, atol=1e-6)
+    assert np.isclose(s32.obj_val, s64.obj_val, atol=1e-7)
