@@ -517,7 +517,7 @@ class Model:
         self._sense = -1.0
 
     # -- assembly + solve --------------------------------------------
-    def _assemble(self, use_quad_obj: bool):
+    def _assemble(self, use_quad_obj: bool, sparse: bool = False):
         import scipy.sparse as sp
 
         obj = self._objective
@@ -595,23 +595,45 @@ class Model:
                 ),
             ),
             shape=(m, n),
-        ).toarray()
+        )
         b = np.concatenate(b_parts) if b_parts else np.zeros(0)
 
-        if P is None:
-            P = np.zeros((n, n))
-        if P.shape[0] < n:  # quad P built before epigraph vars were added
+        if P is not None and P.shape[0] < n:
+            # quad P built before epigraph vars were added
             Pn = np.zeros((n, n))
             Pn[: P.shape[0], : P.shape[0]] = P
             P = Pn
+        if sparse:
+            return (
+                sp.csc_matrix(P) if P is not None and np.any(P) else None,
+                q, A.tocsc(), b, cones, obj_const,
+            )
+        A = A.toarray()
+        if P is None:
+            P = np.zeros((n, n))
         return P, q, A, b, cones, obj_const
 
-    def solve(self, use_quad_obj: bool = True, **override):
-        from .solver import Solver
-
+    def solve(self, use_quad_obj: bool = True, backend: str = "dense",
+              **override):
+        """Assemble and solve.  backend='dense' uses Solver; 'sparse'
+        keeps the assembled triplets sparse and uses SparseSolver (the
+        device multifrontal KKT path) — pick it for large models."""
         settings = self.settings.replace(**override) if override else self.settings
-        P, q, A, b, cones, obj_const = self._assemble(use_quad_obj)
-        self.solver = Solver(P, q, A, b, cones, settings=settings)
+        if backend == "sparse":
+            from .sparse_solver import SparseSolver
+
+            P, q, A, b, cones, obj_const = self._assemble(
+                use_quad_obj, sparse=True
+            )
+            self.solver = SparseSolver(P, q, A, b, cones,
+                                       settings=settings)
+        elif backend == "dense":
+            from .solver import Solver
+
+            P, q, A, b, cones, obj_const = self._assemble(use_quad_obj)
+            self.solver = Solver(P, q, A, b, cones, settings=settings)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
         sol = self.solver.solve()
         self._x = np.asarray(sol.x)
         self._z = np.asarray(sol.z)

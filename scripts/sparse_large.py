@@ -32,6 +32,7 @@ def main():
     from cuclarabel_tpu.sparse_solver import SparseSolver
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 100
+    prec = "float32" if "f32" in sys.argv else "auto"
     rng = np.random.default_rng(0)
     n = k * k
     T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (k, k))
@@ -43,7 +44,7 @@ def main():
     cones = [api.ZeroConeT(1), api.NonnegativeConeT(n)]
 
     t0 = time.perf_counter()
-    solver = SparseSolver(P, q, A, b, cones)
+    solver = SparseSolver(P, q, A, b, cones, kkt_factor_precision=prec)
     t_setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -64,6 +65,7 @@ def main():
 
     print(json.dumps({
         "k": k,
+        "factor_precision": prec,
         "N_kkt": 2 * n + 1,
         "status": sol.status.name,
         "iterations": sol.iterations,

@@ -229,3 +229,32 @@ def test_psd_constraint_matrix_completion():
     sol = m.solve()
     assert sol.status == SolverStatus.SOLVED
     assert np.isclose(x.value, -1.0 / np.sqrt(2.0), atol=1e-5)
+
+
+def test_sparse_backend():
+    """backend='sparse' routes the assembled model through
+    SparseSolver (triplets stay sparse end-to-end)."""
+    from cuclarabel_tpu.sparse_solver import SparseSolver
+
+    m = md.Model()
+    x = m.add_variables(2)
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    m.minimize(0.5 * md.quad_form(x, P) + np.array([1.0, 1.0]) @ x)
+    m.add_constraint(md.sum_entries(x) == 1.0)
+    m.add_constraint(x >= 0.0)
+    m.add_constraint(x <= np.array([0.7, 0.7]))
+    sol = m.solve(backend="sparse")
+    assert isinstance(m.solver, SparseSolver)
+    assert sol.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(x.value, [0.3, 0.7], atol=1e-3)
+    assert np.isclose(m.objective_value, 1.8800000298, atol=1e-3)
+
+    # pure-LP objective (P = None inside SparseSolver)
+    m2 = md.Model()
+    y = m2.add_variables(3)
+    m2.minimize(np.array([1.0, 2.0, 3.0]) @ y)
+    m2.add_constraint(md.sum_entries(y) == 1.0)
+    m2.add_constraint(y >= 0.0)
+    s2 = m2.solve(backend="sparse")
+    assert s2.status == SolverStatus.SOLVED
+    assert np.isclose(m2.objective_value, 1.0, atol=1e-6)
