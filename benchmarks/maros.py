@@ -1,0 +1,210 @@
+"""Named Maros-Meszaros problems (real corpus members, transcribed).
+
+The Maros-Meszaros convex-QP test set is the operative benchmark class
+in BASELINE.md ("Maros-Meszaros + SOCP suite solve time").  The archive
+itself (QPS files) cannot be vendored here, but several of its members
+are small Hock-Schittkowski problems with fully published definitions
+and exact optimal values; those are transcribed below from the H-S
+collection (Lecture Notes in Econ. & Math. Systems 187) — actual
+corpus members, not synthetic stand-ins.
+
+Each entry returns the problem in this solver's native form
+
+    minimize   (1/2) x'Px + q'x          (+ obj_const, tracked here)
+    subject to Ax + s = b,  s in K
+
+with K built from zero (equality) and nonnegative (inequality) cones,
+plus the exact optimal objective value for assertion.
+
+MM reference values (objective including the constant term):
+  HS21   -99.96               HS35    0.111111 (1/9)
+  HS51   0                    HS52    5.32664756 (1859/349)
+  HS53   4.09302326 (176/43)  HS76   -4.68181818
+  TAME   0
+"""
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+import cuclarabel_tpu as cc
+
+
+@dataclass
+class MarosProblem:
+    name: str
+    P: np.ndarray
+    q: np.ndarray
+    A: np.ndarray
+    b: np.ndarray
+    cones: list
+    obj_const: float      # constant term of the published objective
+    obj_golden: float     # published optimal value (incl. constant)
+
+
+def _rows(eq: List[Tuple[np.ndarray, float]],
+          le: List[Tuple[np.ndarray, float]]):
+    """Stack equality rows (zero cone) then <= rows (nonnegative cone)."""
+    A = np.array([r for r, _ in eq] + [r for r, _ in le], dtype=float)
+    b = np.array([v for _, v in eq] + [v for _, v in le], dtype=float)
+    cones = []
+    if eq:
+        cones.append(cc.ZeroConeT(len(eq)))
+    if le:
+        cones.append(cc.NonnegativeConeT(len(le)))
+    return A, b, cones
+
+
+def hs21() -> MarosProblem:
+    """min 0.01 x1^2 + x2^2 - 100, s.t. 10 x1 - x2 >= 10,
+    2 <= x1 <= 50, -50 <= x2 <= 50.  Optimum -99.96 at (2, 0)."""
+    P = np.diag([0.02, 2.0])
+    q = np.zeros(2)
+    e1, e2 = np.eye(2)
+    A, b, cones = _rows(
+        eq=[],
+        le=[(-10 * e1 + e2, -10.0),      # 10 x1 - x2 >= 10
+            (e1, 50.0), (-e1, -2.0),
+            (e2, 50.0), (-e2, 50.0)],
+    )
+    return MarosProblem("HS21", P, q, A, b, cones, -100.0, -99.96)
+
+
+def hs35() -> MarosProblem:
+    """min 9 - 8x1 - 6x2 - 4x3 + 2x1^2 + 2x2^2 + x3^2 + 2x1x2 + 2x1x3
+    s.t. x1 + x2 + 2x3 <= 3, x >= 0.  Optimum 1/9."""
+    P = np.array([[4.0, 2.0, 2.0], [2.0, 4.0, 0.0], [2.0, 0.0, 2.0]])
+    q = np.array([-8.0, -6.0, -4.0])
+    e = np.eye(3)
+    A, b, cones = _rows(
+        eq=[],
+        le=[(np.array([1.0, 1.0, 2.0]), 3.0),
+            (-e[0], 0.0), (-e[1], 0.0), (-e[2], 0.0)],
+    )
+    return MarosProblem("HS35", P, q, A, b, cones, 9.0, 1.0 / 9.0)
+
+
+def _hs51_objective():
+    """(x1-x2)^2 + (x2+x3-2)^2 + (x4-1)^2 + (x5-1)^2 as (P, q, const)."""
+    P = np.array([
+        [2.0, -2.0, 0.0, 0.0, 0.0],
+        [-2.0, 4.0, 2.0, 0.0, 0.0],
+        [0.0, 2.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 2.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 2.0],
+    ])
+    q = np.array([0.0, -4.0, -4.0, -2.0, -2.0])
+    return P, q, 6.0
+
+
+_HS5X_EQ = [
+    (np.array([1.0, 3.0, 0.0, 0.0, 0.0]), None),   # x1 + 3 x2
+    (np.array([0.0, 0.0, 1.0, 1.0, -2.0]), 0.0),   # x3 + x4 - 2 x5
+    (np.array([0.0, 1.0, 0.0, 0.0, -1.0]), 0.0),   # x2 - x5
+]
+
+
+def hs51() -> MarosProblem:
+    """HS51: the HS5x quadratic with x1+3x2 = 4.  Optimum 0 at e."""
+    P, q, const = _hs51_objective()
+    eq = [(_HS5X_EQ[0][0], 4.0), _HS5X_EQ[1], _HS5X_EQ[2]]
+    A, b, cones = _rows(eq=eq, le=[])
+    return MarosProblem("HS51", P, q, A, b, cones, const, 0.0)
+
+
+def hs52() -> MarosProblem:
+    """HS52: first objective term is (4x1 - x2)^2; x1+3x2 = 0.
+    Optimum 1859/349."""
+    P, q, const = _hs51_objective()
+    P = P.copy()
+    P[0, 0] = 32.0
+    P[0, 1] = P[1, 0] = -8.0
+    eq = [(_HS5X_EQ[0][0], 0.0), _HS5X_EQ[1], _HS5X_EQ[2]]
+    A, b, cones = _rows(eq=eq, le=[])
+    return MarosProblem("HS52", P, q, A, b, cones, const, 1859.0 / 349.0)
+
+
+def hs53() -> MarosProblem:
+    """HS53: HS51 objective, x1+3x2 = 0, and -10 <= x <= 10.
+    Optimum 176/43."""
+    P, q, const = _hs51_objective()
+    eq = [(_HS5X_EQ[0][0], 0.0), _HS5X_EQ[1], _HS5X_EQ[2]]
+    e = np.eye(5)
+    le = [(e[i], 10.0) for i in range(5)] + [(-e[i], 10.0) for i in range(5)]
+    A, b, cones = _rows(eq=eq, le=le)
+    return MarosProblem("HS53", P, q, A, b, cones, const, 176.0 / 43.0)
+
+
+def hs76() -> MarosProblem:
+    """min x1^2 + .5x2^2 + x3^2 + .5x4^2 - x1x3 + x3x4 - x1 - 3x2 + x3 - x4
+    s.t. x1+2x2+x3+x4 <= 5; 3x1+x2+2x3-x4 <= 4; x2+4x3 >= 1.5; x >= 0.
+    Optimum -4.681818..."""
+    P = np.array([
+        [2.0, 0.0, -1.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [-1.0, 0.0, 2.0, 1.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ])
+    q = np.array([-1.0, -3.0, 1.0, -1.0])
+    e = np.eye(4)
+    A, b, cones = _rows(
+        eq=[],
+        le=[(np.array([1.0, 2.0, 1.0, 1.0]), 5.0),
+            (np.array([3.0, 1.0, 2.0, -1.0]), 4.0),
+            (np.array([0.0, -1.0, -4.0, 0.0]), -1.5),
+            (-e[0], 0.0), (-e[1], 0.0), (-e[2], 0.0), (-e[3], 0.0)],
+    )
+    return MarosProblem("HS76", P, q, A, b, cones, 0.0,
+                        -4.6818181818181817)
+
+
+def tame() -> MarosProblem:
+    """min (x1 - x2)^2 s.t. x1 + x2 = 1, x >= 0.  Optimum 0."""
+    P = np.array([[2.0, -2.0], [-2.0, 2.0]])
+    q = np.zeros(2)
+    e = np.eye(2)
+    A, b, cones = _rows(
+        eq=[(np.array([1.0, 1.0]), 1.0)],
+        le=[(-e[0], 0.0), (-e[1], 0.0)],
+    )
+    return MarosProblem("TAME", P, q, A, b, cones, 0.0, 0.0)
+
+
+PROBLEMS = [hs21, hs35, hs51, hs52, hs53, hs76, tame]
+
+
+def run(verbose: bool = False):
+    import time
+
+    results = []
+    for make in PROBLEMS:
+        p = make()
+        solver = cc.Solver(p.P, p.q, p.A, p.b, p.cones)
+        t0 = time.perf_counter()
+        sol = solver.solve()
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sol = solver.solve()
+        warm = time.perf_counter() - t0
+        obj = sol.obj_val + p.obj_const
+        results.append({
+            "name": p.name,
+            "status": sol.status.name,
+            "obj": obj,
+            "obj_golden": p.obj_golden,
+            "obj_err": abs(obj - p.obj_golden),
+            "iters": sol.iterations,
+            "warm_ms": warm * 1e3,
+            "cold_s": cold,
+        })
+        if verbose:
+            print(results[-1])
+    return results
+
+
+if __name__ == "__main__":
+    import json
+
+    for r in run(verbose=False):
+        print(json.dumps(r))

@@ -28,3 +28,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", None)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables
+    (the sparse multifrontal ones are huge level-scheduled programs);
+    late in the process the CPU compiler aborts (SIGABRT inside
+    backend_compile_and_load) even with system memory free.  Modules
+    barely share programs, so dropping the caches between them costs
+    little and keeps the compiler healthy."""
+    yield
+    jax.clear_caches()
