@@ -267,7 +267,20 @@ def main():
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
-    results = [
+    from benchmarks.maros import run as run_maros
+
+    results = []
+    for r in run_maros():
+        # adapt the named-MM record to this table's schema
+        results.append({
+            "name": f"mm-{r['name']}", "status": r["status"],
+            "ok": r["status"] in ("SOLVED", "ALMOST_SOLVED"),
+            "iters": r["iters"], "warm_ms": r["warm_ms"],
+            "cold_s": r["cold_s"], "r_prim": float("nan"),
+            "r_dual": float("nan"), "obj": r["obj"],
+            "obj_err": r["obj_err"],
+        })
+    results += [
         qp_golden(),
         mm_style_qp(50, 10, 1),
         mm_style_qp(200, 40, 2),

@@ -320,13 +320,19 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
         # -------------------- one generic KKT step solve
         # (kktsystem.jl:135-215)
-        def kkt_step(fac, x2, z2, v, scal, rhs, is_affine: bool):
+        def kkt_step(fac, x2, z2, v, scal, rhs, is_affine: bool,
+                     presolved=None):
             if is_affine:
                 const = v["s"]
             else:
                 const = cone_ops.ds_from_dz_offset(layout, scal, rhs["s"], v["z"])
             workz = const - rhs["z"]
-            x1, z1, ok, nir = kkt_solve(fac, rhs["x"], workz)
+            if presolved is None:
+                x1, z1, ok, nir = kkt_solve(fac, rhs["x"], workz)
+            else:
+                # solved jointly with the constant-RHS system in one
+                # multi-RHS kernel launch (see kkt_solve.pair)
+                x1, z1, ok, nir = presolved
 
             tau, kappa = v["tau"], v["kappa"]
             xi = v["x"] / tau
@@ -416,10 +422,18 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                     x0, z0, _, _ = kkt_solve(fac, -q, b)
                     s0 = -z0
                 else:
-                    # LP init (kktsystem.jl:101-119)
-                    x0, ms, _, _ = kkt_solve(fac, jnp.zeros(n), b)
+                    # LP init (kktsystem.jl:101-119); the two solves
+                    # share the factor — one multi-RHS launch if the
+                    # backend offers it
+                    pair0 = getattr(kkt_solve, "pair", None)
+                    if pair0 is not None:
+                        x0, ms, _, z0, _, _ = pair0(
+                            fac, jnp.zeros(n), b, -q, jnp.zeros(m)
+                        )
+                    else:
+                        x0, ms, _, _ = kkt_solve(fac, jnp.zeros(n), b)
+                        _, z0, _, _ = kkt_solve(fac, -q, jnp.zeros(m))
                     s0 = -ms
-                    _, z0, _, _ = kkt_solve(fac, -q, jnp.zeros(m))
                 s0 = cone_ops.shift_to_cone_interior(layout, s0, cone_ops.PRIMAL)
                 z0 = cone_ops.shift_to_cone_interior(layout, z0, cone_ops.DUAL)
             else:
@@ -542,8 +556,6 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             else:
                 hs_parts = cone_ops.sparse_hs_values(layout, scal, _hs_plan)
                 fac, okf = factorize(Pv, Av, hs_parts, dev["spbufs"])
-            x2, z2, okc, nir_c = kkt_solve(fac, -q, b)
-            kkt_ok = okf & okc
 
             # --- affine step (variables.jl:107-121)
             rhs_aff = {
@@ -553,7 +565,24 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "tau": r["rtau"],
                 "kappa": v["tau"] * v["kappa"],
             }
-            step_aff, oka, nir_a = kkt_step(fac, x2, z2, v, scal, rhs_aff, True)
+            pair_solve = getattr(kkt_solve, "pair", None)
+            if pair_solve is not None:
+                # the constant-RHS (-q, b) and affine systems share the
+                # factor and both right-hand sides exist now — solve
+                # them in ONE multi-RHS kernel launch (the substitution
+                # chain's sequential latency is paid once)
+                x2, z2, x1a, z1a, okc, nir_c = pair_solve(
+                    fac, -q, b, rhs_aff["x"], v["s"] - rhs_aff["z"]
+                )
+                presolved_aff = (x1a, z1a, okc, nir_c)
+            else:
+                x2, z2, okc, nir_c = kkt_solve(fac, -q, b)
+                presolved_aff = None
+            kkt_ok = okf & okc
+
+            step_aff, oka, nir_a = kkt_step(
+                fac, x2, z2, v, scal, rhs_aff, True, presolved=presolved_aff
+            )
             kkt_ok = kkt_ok & oka
 
             alpha_aff = get_step_length(v, step_aff, scal, scaling, combined=False)

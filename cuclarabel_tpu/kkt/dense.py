@@ -420,6 +420,132 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             return dj * x.astype(jnp.float64)
 
     if method == "pallas":
+        from .pallas_dd import dd_ldl_solve_r, dd_ldl_solve_refine_r
+
+        @custom_vmap
+        def _dd_solve2(Lh, Ll, Dh, Dl, bs):
+            ex = lambda a: a[..., None]
+            bh, bl = split_f64(bs[..., None])  # (N, 2, 1)
+            xh, xl = dd_ldl_solve_r(
+                ex(Lh), ex(Ll), ex(Dh), ex(Dl), bh, bl, interpret=interp
+            )
+            return join_f64(xh, xl)[..., 0]
+
+        @_dd_solve2.def_vmap
+        def _dd_solve2_vmap(axis_size, in_batched, Lh, Ll, Dh, Dl, bs):
+            lane = lambda a: jnp.moveaxis(a, 0, -1)
+            bh, bl = split_f64(lane(bs))  # (N, 2, B)
+            xh, xl = dd_ldl_solve_r(
+                lane(Lh), lane(Ll), lane(Dh), lane(Dl), bh, bl,
+                interpret=interp,
+            )
+            return jnp.moveaxis(join_f64(xh, xl), -1, 0), True
+
+        @custom_vmap
+        def _dd_refsolve2(Kh, Kl, Lh, Ll, Dh, Dl, bs):
+            ex = lambda a: a[..., None]
+            bh, bl = split_f64(bs[..., None])
+            xh, xl, rh, rl = dd_ldl_solve_refine_r(
+                ex(Kh), ex(Kl), ex(Lh), ex(Ll), ex(Dh), ex(Dl), bh, bl,
+                npass=npass_fused, interpret=interp,
+            )
+            return join_f64(xh, xl)[..., 0], join_f64(rh, rl)[..., 0]
+
+        @_dd_refsolve2.def_vmap
+        def _dd_refsolve2_vmap(axis_size, in_batched, Kh, Kl, Lh, Ll,
+                               Dh, Dl, bs):
+            lane = lambda a: jnp.moveaxis(a, 0, -1)
+            bh, bl = split_f64(lane(bs))
+            xh, xl, rh, rl = dd_ldl_solve_refine_r(
+                lane(Kh), lane(Kl), lane(Lh), lane(Ll), lane(Dh),
+                lane(Dl), bh, bl, npass=npass_fused, interpret=interp,
+            )
+            return (
+                jnp.moveaxis(join_f64(xh, xl), -1, 0),
+                jnp.moveaxis(join_f64(rh, rl), -1, 0),
+            ), (True, True)
+
+        def _dd_kkt_solve_pair(fac, rx1, rz1, rx2, rz2):
+            """Two refined KKT solves against one factor in a single
+            kernel launch (the constant-RHS (-q, b) and affine systems
+            of one IPM iteration, kktsystem.jl:62-92 + :135-163: both
+            right-hand sides exist as soon as the factor does).  The
+            substitution chain's sequential latency is paid once for
+            both systems; per-(rhs, lane) refinement gating matches
+            _dd_kkt_solve exactly."""
+            dj = fac["dj"]
+            djp = dj[permj]
+            b1 = jnp.concatenate([rx1, rz1])
+            b2 = jnp.concatenate([rx2, rz2])
+            bs = jnp.stack([(dj * b1)[permj], (dj * b2)[permj]], axis=1)
+            normb = jnp.stack([_inf_norm(b1), _inf_norm(b2)])
+            tol = ir_abstol + ir_reltol * normb  # (2,)
+
+            def unscaled_norm(rs):  # rs (N, 2)
+                return jnp.max(jnp.abs(rs / djp[:, None]), axis=0)
+
+            if ir_enable:
+                x, e0 = _dd_refsolve2(
+                    fac["Kh"], fac["Kl"], fac["Lh"], fac["Ll"],
+                    fac["Dh"], fac["Dl"], bs,
+                )
+                norme0 = unscaled_norm(e0)  # (2,)
+                ok0 = jnp.isfinite(norme0)
+
+                def cond(c):
+                    _, _, norme, i, stop, ok = c
+                    live = (~stop) & ok & (norme > tol)
+                    return (i < ir_maxiter) & jnp.any(live)
+
+                def body(c):
+                    xc, e, norme, i, stop, okc = c
+                    live = (~stop) & okc & (norme > tol)
+                    dx = _dd_solve2(
+                        fac["Lh"], fac["Ll"], fac["Dh"], fac["Dl"], e
+                    )
+                    xn = xc + dx
+                    en = jnp.stack(
+                        [
+                            _dd_resid(fac["Kh"], fac["Kl"], xn[:, 0],
+                                      bs[:, 0]),
+                            _dd_resid(fac["Kh"], fac["Kl"], xn[:, 1],
+                                      bs[:, 1]),
+                        ],
+                        axis=1,
+                    )
+                    normen = unscaled_norm(en)
+                    okn = jnp.isfinite(normen)
+                    ratio = norme / jnp.where(normen > 0, normen, 1e-300)
+                    accept = live & (ratio > 1.0)
+                    keep_going = live & (ratio > min(ir_stopratio, 1.2))
+                    am = accept[None, :]
+                    return (
+                        jnp.where(am, xn, xc),
+                        jnp.where(am, en, e),
+                        jnp.where(accept, normen, norme),
+                        i + 1,
+                        stop | ~keep_going,
+                        jnp.where(live, okn, okc),
+                    )
+
+                stop0 = jnp.zeros(2, dtype=bool)
+                x, _, norme, nir, _, okr = jax.lax.while_loop(
+                    cond, body, (x, e0, norme0, npass_fused, stop0, ok0)
+                )
+                ok = jnp.all(okr & jnp.isfinite(norme))
+            else:
+                x = _dd_solve2(
+                    fac["Lh"], fac["Ll"], fac["Dh"], fac["Dl"], bs
+                )
+                nir = jnp.asarray(0)
+                ok = jnp.all(jnp.isfinite(x))
+            xout = dj[:, None] * x[iperm, :]
+            return (
+                xout[:n, 0], xout[n:, 0], xout[:n, 1], xout[n:, 1],
+                ok, jnp.max(jnp.asarray(nir)),
+            )
+
+        _dd_kkt_solve.pair = _dd_kkt_solve_pair
         return factorize, _dd_kkt_solve
 
     def _refine(fac, b, x0):

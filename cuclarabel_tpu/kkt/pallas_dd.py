@@ -335,6 +335,136 @@ def _refine_kernel(n, npass, solve_body, kh_ref, kl_ref, lh_ref, ll_ref,
         ne = jnp.where(acc, nen, ne)
 
 
+def _solve_kernel_r(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
+                    xh_ref, xl_ref):
+    """Multi-RHS (L+I) D (L+I)^T X = B; b/x refs are (n, r, lanes).
+
+    One sequential n-step substitution chain serves all r right-hand
+    sides: the per-step work grows r-fold but the chain length (the
+    latency-bound part at N << 128) does not, so solving the
+    constant-RHS and affine systems together costs far less than two
+    launches."""
+    xh_ref[...] = bh_ref[...]
+    xl_ref[...] = bl_ref[...]
+    for j in range(1, n):  # forward
+        ph, pe = dd_mul(
+            lh_ref[j, :j, :][:, None, :], ll_ref[j, :j, :][:, None, :],
+            xh_ref[:j, :, :], xl_ref[:j, :, :],
+        )
+        sh, sl = dd_sum_axis0(ph, pe)  # (r, lanes)
+        h, l = dd_sub(xh_ref[j, :, :], xl_ref[j, :, :], sh, sl)
+        xh_ref[j, :, :] = h
+        xl_ref[j, :, :] = l
+    h, l = dd_mul(xh_ref[...], xl_ref[...],
+                  dh_ref[...][:, None, :], dl_ref[...][:, None, :])
+    xh_ref[...] = h
+    xl_ref[...] = l
+    for j in range(n - 2, -1, -1):  # backward
+        ph, pe = dd_mul(
+            lh_ref[j + 1:, j, :][:, None, :],
+            ll_ref[j + 1:, j, :][:, None, :],
+            xh_ref[j + 1:, :, :], xl_ref[j + 1:, :, :],
+        )
+        sh, sl = dd_sum_axis0(ph, pe)
+        h, l = dd_sub(xh_ref[j, :, :], xl_ref[j, :, :], sh, sl)
+        xh_ref[j, :, :] = h
+        xl_ref[j, :, :] = l
+
+
+def _solve_kernel_r_looped(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref,
+                           bl_ref, xh_ref, xl_ref):
+    """fori_loop multi-RHS substitutions (constant IR in n), unrolled
+    over the (small, static) RHS axis with the proven 2-D op patterns.
+
+    NB: do NOT vectorize the RHS axis into 3-D broadcast dd ops here —
+    XLA:CPU's compilation of broadcast operands inside fori_loop bodies
+    rewrites the error-free transforms and silently degrades dd to f32
+    accuracy (observed 1e-5 residuals in interpret mode; concrete
+    same-shape operands and the unrolled kernels are unaffected).  The
+    per-RHS chains below trade the latency amortization for exactness;
+    this variant only serves UNROLL_MAX < N <= 128."""
+    r = bh_ref.shape[1]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    for t in range(r):
+        xh0 = bh_ref[:, t, :]
+        xl0 = bl_ref[:, t, :]
+
+        def fwd(j, c):
+            xh, xl = c
+            colh = lh_ref[:, pl.ds(j, 1), :][:, 0, :]
+            coll = ll_ref[:, pl.ds(j, 1), :][:, 0, :]
+            gt = (row_iota > j).astype(colh.dtype)  # (n, 1)
+            xjh = jax.lax.dynamic_slice_in_dim(xh, j, 1, 0)[0]
+            xjl = jax.lax.dynamic_slice_in_dim(xl, j, 1, 0)[0]
+            ph, pe = dd_mul(colh * gt, coll * gt,
+                            xjh[None, :], xjl[None, :])
+            return dd_sub(xh, xl, ph, pe)
+
+        xh, xl = jax.lax.fori_loop(0, n, fwd, (xh0, xl0))
+        xh, xl = dd_mul(xh, xl, dh_ref[...], dl_ref[...])
+
+        def bwd(jj, c):
+            xh, xl = c
+            j = n - 1 - jj
+            colh = lh_ref[:, pl.ds(j, 1), :][:, 0, :]
+            coll = ll_ref[:, pl.ds(j, 1), :][:, 0, :]
+            gt = (row_iota > j).astype(colh.dtype)
+            ph, pe = dd_mul(colh * gt, coll * gt, xh, xl)
+            sh, sl = dd_sum_axis0(ph, pe)
+            xjh = jax.lax.dynamic_slice_in_dim(xh, j, 1, 0)[0]
+            xjl = jax.lax.dynamic_slice_in_dim(xl, j, 1, 0)[0]
+            h, l = dd_sub(xjh, xjl, sh, sl)
+            xh = jax.lax.dynamic_update_slice_in_dim(xh, h[None], j, 0)
+            xl = jax.lax.dynamic_update_slice_in_dim(xl, l[None], j, 0)
+            return xh, xl
+
+        xh, xl = jax.lax.fori_loop(0, n, bwd, (xh, xl))
+        xh_ref[:, t, :] = xh
+        xl_ref[:, t, :] = xl
+
+
+def _refine_kernel_r(n, r, npass, solve_body, kh_ref, kl_ref, lh_ref,
+                     ll_ref, dh_ref, dl_ref, bh_ref, bl_ref, xh_ref,
+                     xl_ref, rh_ref, rl_ref, dxh_s, dxl_s):
+    """Multi-RHS fused refined solve (see _refine_kernel).  b/x/r are
+    (n, r, lanes); acceptance gating is per (rhs, lane).  The residual
+    matvec runs per-RHS (unrolled over r) so temporaries stay
+    (n, n, lanes)-sized in VMEM."""
+    solve_body(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
+               xh_ref, xl_ref)
+
+    def resid(xh, xl):
+        hs, ls = [], []
+        for t in range(r):
+            ph, pe = dd_mul(kh_ref[...], kl_ref[...],
+                            xh[:, t, :][None, :, :], xl[:, t, :][None, :, :])
+            sh, sl = dd_sum_axis0(jnp.swapaxes(ph, 0, 1),
+                                  jnp.swapaxes(pe, 0, 1))
+            h, l = dd_sub(bh_ref[:, t, :], bl_ref[:, t, :], sh, sl)
+            hs.append(h)
+            ls.append(l)
+        return jnp.stack(hs, axis=1), jnp.stack(ls, axis=1)
+
+    eh, el = resid(xh_ref[...], xl_ref[...])
+    rh_ref[...] = eh
+    rl_ref[...] = el
+    ne = jnp.max(jnp.abs(eh), axis=0)  # (r, lanes) inf norms
+    for _ in range(npass):
+        solve_body(n, lh_ref, ll_ref, dh_ref, dl_ref, rh_ref, rl_ref,
+                   dxh_s, dxl_s)
+        xnh, xnl = dd_add(xh_ref[...], xl_ref[...], dxh_s[...], dxl_s[...])
+        enh, enl = resid(xnh, xnl)
+        nen = jnp.max(jnp.abs(enh), axis=0)
+        acc = nen < ne
+        accm = acc[None, :, :]
+        xh_ref[...] = jnp.where(accm, xnh, xh_ref[...])
+        xl_ref[...] = jnp.where(accm, xnl, xl_ref[...])
+        rh_ref[...] = jnp.where(accm, enh, rh_ref[...])
+        rl_ref[...] = jnp.where(accm, enl, rl_ref[...])
+        ne = jnp.where(acc, nen, ne)
+
+
 # ---------------------------------------------------------------------
 # host-facing wrappers (lane-major (N, N, B) / (N, B) operands)
 #
@@ -483,6 +613,64 @@ def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
     return (xh[..., :b0], xl[..., :b0], rh[..., :b0], rl[..., :b0])
 
 
+def _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret):
+    N, r = bh.shape[0], bh.shape[1]
+    lanes = _lanes_for(N)
+    b0 = bh.shape[-1]
+    args = [_pad_lanes(a, lanes) for a in (Lh, Ll, Dh, Dl, bh, bl)]
+    Bp = args[0].shape[-1]
+    mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
+    rvec = pl.BlockSpec((N, r, lanes), lambda i: (0, 0, i))
+    kern = _solve_kernel_r if N <= UNROLL_MAX else _solve_kernel_r_looped
+    xh, xl = pl.pallas_call(
+        functools.partial(kern, N),
+        grid=(Bp // lanes,),
+        in_specs=[mat, mat, vec, vec, rvec, rvec],
+        out_specs=[rvec, rvec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, r, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, r, Bp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _CP,
+    )(*args)
+    return xh[..., :b0], xl[..., :b0]
+
+
+def _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
+    N, r = bh.shape[0], bh.shape[1]
+    lanes = _lanes_for(N)
+    b0 = bh.shape[-1]
+    args = [_pad_lanes(a, lanes)
+            for a in (Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)]
+    Bp = args[0].shape[-1]
+    mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
+    vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
+    rvec = pl.BlockSpec((N, r, lanes), lambda i: (0, 0, i))
+    solve_body = (_solve_kernel_r if N <= UNROLL_MAX
+                  else _solve_kernel_r_looped)
+    xh, xl, rh, rl = pl.pallas_call(
+        functools.partial(_refine_kernel_r, N, r, npass, solve_body),
+        grid=(Bp // lanes,),
+        in_specs=[mat, mat, mat, mat, vec, vec, rvec, rvec],
+        out_specs=[rvec, rvec, rvec, rvec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, r, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, r, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, r, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, r, Bp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, r, lanes), jnp.float32),
+            pltpu.VMEM((N, r, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _CP,
+    )(*args)
+    return (xh[..., :b0], xl[..., :b0], rh[..., :b0], rl[..., :b0])
+
+
 def dd_ldl_factor(Kh, Kl, reg, interpret=False):
     """Batched dd LDL^T.  Kh/Kl: (N, N, B) f32 pair of the scaled,
     permuted, UNregularized quasidefinite K; reg: (N, B) signed
@@ -515,3 +703,22 @@ def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
     with jax.enable_x64(False):
         return _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass,
                             interpret)
+
+
+def dd_ldl_solve_r(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
+    """Multi-RHS solve: b (N, r, B) dd pair -> x (N, r, B) dd pair.
+    All r systems ride one substitution chain per lane tile."""
+    with jax.enable_x64(False):
+        return _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret)
+
+
+def dd_ldl_solve_refine_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
+                          interpret=False):
+    """Multi-RHS fused refined solve: b (N, r, B) -> (x, r) pairs with
+    per-(rhs, lane) monotone acceptance.  The IPM uses r=2 to solve the
+    constant-RHS (-q, b) and affine systems of one iteration in a
+    single launch (kktsystem.jl:135-215's two-solve structure; both
+    right-hand sides are available as soon as the factor is)."""
+    with jax.enable_x64(False):
+        return _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass,
+                              interpret)

@@ -305,9 +305,21 @@ class Solver:
     def get_info(self) -> Optional[dict]:
         return self.info
 
+    def profile_phases(self, reps: int = 3) -> dict:
+        """Per-phase device timing of this problem's IPM building blocks
+        (scale cones / Hs assembly / KKT factor / refined KKT solve /
+        residual matvecs / step length) — the device-level counterpart
+        of the reference's solve! timer sections (types.jl:362-372,
+        solver.jl:189-370).  Results land in timers["device"] and are
+        included by print_timers()."""
+        from .profiling import phase_breakdown
+
+        return phase_breakdown(self, reps=reps)
+
     def print_timers(self) -> None:
         """Hierarchical wall-clock report (print_timers(solver),
-        solver.jl:534; TimerOutputs equivalent)."""
+        solver.jl:534; TimerOutputs equivalent).  Includes the
+        per-phase device breakdown if profile_phases() was run."""
         for section, entries in self.timers.items():
             total = sum(entries.values())
             print(f"{section:<16s} {total*1e3:10.3f} ms")

@@ -158,3 +158,24 @@ def test_factor_precision_sweep(precision):
     assert sol.status == cc.SolverStatus.SOLVED
     assert abs(sol.obj_val - 1.8800000298) < 1e-3
     assert sol.r_prim < 1e-8 and sol.r_dual < 1e-8
+
+
+def test_profile_phases_device_breakdown():
+    """profile_phases returns per-phase device timings (the reference's
+    solve! timer sections, types.jl:362-372) and print_timers includes
+    them."""
+    import cuclarabel_tpu as cc
+
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.vstack([np.array([[1.0, 1.0]]), np.eye(2), -np.eye(2)])
+    b = np.array([1.0, 0.7, 0.7, 0.0, 0.0])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2),
+             cc.NonnegativeConeT(2)]
+    s = cc.Solver(P, q, A, b, cones)
+    s.solve()
+    ph = s.profile_phases(reps=1)
+    for key in ("scale_cones", "hs_assembly", "kkt_factor", "kkt_solve",
+                "residuals", "step_length"):
+        assert key in ph and ph[key] > 0.0
+    assert s.timers["device"] == ph

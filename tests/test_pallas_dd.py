@@ -288,3 +288,93 @@ def test_dd_fused_refine_matches_unfused():
     xsh, xsl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
     np.testing.assert_array_equal(np.asarray(x0h), np.asarray(xsh))
     np.testing.assert_array_equal(np.asarray(x0l), np.asarray(xsl))
+
+
+def test_dd_multirhs_matches_single(monkeypatch):
+    """dd_ldl_solve_r / dd_ldl_solve_refine_r (one substitution chain
+    serving r right-hand sides) must match the single-RHS kernels per
+    column, for both the unrolled and fori_loop variants."""
+    from cuclarabel_tpu.kkt import pallas_dd as pd
+
+    rng = np.random.default_rng(13)
+    B, n, m, r = 3, 4, 6, 2
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=4.0)
+    bs = rng.standard_normal((r, B, N))
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(jnp.asarray(dsigns * 1e-8)[:, None], (N, B))
+    Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT.astype(jnp.float32),
+                                   interpret=True)
+    # stack RHS on a middle axis: (N, r, B)
+    bh = jnp.stack([split_f64(_lane(bs[t]))[0] for t in range(r)], axis=1)
+    bl = jnp.stack([split_f64(_lane(bs[t]))[1] for t in range(r)], axis=1)
+
+    for force_loop in (False, True):
+        if force_loop:
+            monkeypatch.setattr(pd, "UNROLL_MAX", 0)
+        xh, xl = pd.dd_ldl_solve_r(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
+        xrh, xrl, rrh, rrl = pd.dd_ldl_solve_refine_r(
+            Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2, interpret=True)
+        for t in range(r):
+            sh, sl = split_f64(_lane(bs[t]))
+            x1h, x1l = pd.dd_ldl_solve(Lh, Ll, Dh, Dl, sh, sl,
+                                       interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(join_f64(xh[:, t], xl[:, t])),
+                np.asarray(join_f64(x1h, x1l)), rtol=1e-9, atol=1e-11)
+            f1h, f1l, e1h, e1l = pd.dd_ldl_solve_refine(
+                Kh, Kl, Lh, Ll, Dh, Dl, sh, sl, npass=2, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(join_f64(xrh[:, t], xrl[:, t])),
+                np.asarray(join_f64(f1h, f1l)), rtol=1e-9, atol=1e-11)
+            # residual output must be b - K x of the accepted iterate
+            x_t = _unlane(join_f64(xrh[:, t], xrl[:, t]))
+            r_t = _unlane(join_f64(rrh[:, t], rrl[:, t]))
+            r_ref = bs[t] - np.einsum("bij,bj->bi", K, x_t)
+            assert np.abs(r_t - r_ref).max() < 1e-11
+
+
+def test_dd_kkt_solve_pair_matches_two_solves():
+    """The dense backend's kkt_solve.pair (constant-RHS + affine systems
+    in one launch) must agree with two independent kkt_solve calls,
+    including under vmap."""
+    from cuclarabel_tpu.kkt.dense import make_dense_kkt
+    from cuclarabel_tpu.settings import Settings
+
+    rng = np.random.default_rng(3)
+    n, m, B = 4, 6, 3
+    A = rng.standard_normal((m, n))
+    Hs = np.diag(10.0 ** rng.uniform(-3, 3, size=m))
+    st = Settings(kkt_solve_method="pallas")
+    factorize, kkt_solve = make_dense_kkt(n, m, st, jnp.float32)
+    assert hasattr(kkt_solve, "pair")
+
+    fac, ok = jax.jit(factorize)(
+        jnp.zeros((n, n)), jnp.asarray(A), jnp.asarray(Hs))
+    rx1, rz1 = rng.standard_normal(n), rng.standard_normal(m)
+    rx2, rz2 = rng.standard_normal(n), rng.standard_normal(m)
+    x1, z1, ok1, _ = jax.jit(kkt_solve)(fac, jnp.asarray(rx1),
+                                        jnp.asarray(rz1))
+    x2, z2, ok2, _ = jax.jit(kkt_solve)(fac, jnp.asarray(rx2),
+                                        jnp.asarray(rz2))
+    xa, za, xb, zb, okp, _ = jax.jit(kkt_solve.pair)(
+        fac, jnp.asarray(rx1), jnp.asarray(rz1),
+        jnp.asarray(rx2), jnp.asarray(rz2))
+    assert bool(ok) and bool(okp)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(x1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(za), np.asarray(z1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(x2), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(z2), atol=1e-11)
+
+    fb, _ = jax.jit(jax.vmap(factorize, in_axes=(None, None, 0)))(
+        jnp.zeros((n, n)), jnp.asarray(A),
+        jnp.broadcast_to(jnp.asarray(Hs), (B, m, m)))
+    rbx = jnp.asarray(rng.standard_normal((B, n)))
+    rbz = jnp.asarray(rng.standard_normal((B, m)))
+    ov = jax.jit(jax.vmap(kkt_solve.pair))(fb, rbx, rbz, 2 * rbx, 2 * rbz)
+    o1 = jax.jit(jax.vmap(kkt_solve))(fb, rbx, rbz)
+    np.testing.assert_allclose(np.asarray(ov[0]), np.asarray(o1[0]),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ov[2]), 2 * np.asarray(o1[0]),
+                               atol=1e-10)
