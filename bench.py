@@ -75,13 +75,19 @@ def main():
     nir = np.asarray(out["ir_count"])
     assert np.all(statuses == 1), f"unsolved problems in bench: {statuses}"
 
-    t0 = time.perf_counter()
-    reps = 3
+    # The remote (tunneled) TPU executes the first runs of a freshly
+    # compiled program up to ~2x slow; warm past that, then take the
+    # median of several reps (inputs perturbed so no layer memoizes).
+    for r in range(2):
+        jax.block_until_ready(batched(Pz, Ad, qd * (1.0 - 1e-9 * (r + 1)), bd))
+    reps = 5
+    rep_s = []
     for r in range(reps):
-        # perturb inputs so no layer can memoize the execution
+        t0 = time.perf_counter()
         out = batched(Pz, Ad, qd * (1.0 + 1e-9 * (r + 1)), bd)
         jax.block_until_ready(out)
-    batched_s = (time.perf_counter() - t0) / reps
+        rep_s.append(time.perf_counter() - t0)
+    batched_s = float(np.median(rep_s))
     throughput = BATCH / batched_s
 
     # ---- sequential baseline (same chip, one dispatch per problem)
@@ -142,6 +148,7 @@ def main():
                     "83-wide panels), peaks: 197 bf16 TFLOP/s, 819 GB/s"
                 ),
                 "ir_mean": round(nir_mean, 2),
+                "rep_throughputs": [round(BATCH / s, 1) for s in rep_s],
             }
         )
     )
