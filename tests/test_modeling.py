@@ -258,3 +258,18 @@ def test_sparse_backend():
     s2 = m2.solve(backend="sparse")
     assert s2.status == SolverStatus.SOLVED
     assert np.isclose(m2.objective_value, 1.0, atol=1e-6)
+
+
+def test_genpow_cone():
+    """max w s.t. (x, y, w) in GenPow([0.4, 0.6], 1), x = 2, y = 3
+    -> w = 2^0.4 * 3^0.6 (MOI GenPowerCone extension analog,
+    MOI_extensions.jl:12-26)."""
+    m = md.Model()
+    v = m.add_variables(3)
+    m.add_constraint(v, api.GenPowerConeT((0.4, 0.6), 1))
+    m.add_constraint(v[0:1] == 2.0)
+    m.add_constraint(v[1:2] == 3.0)
+    m.maximize(v @ np.array([0.0, 0.0, 1.0]))
+    sol = m.solve()
+    assert sol.status == SolverStatus.SOLVED
+    assert np.isclose(v.value[2], 2.0**0.4 * 3.0**0.6, atol=TOL)
