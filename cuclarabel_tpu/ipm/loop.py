@@ -68,7 +68,7 @@ def _norm_scaled(w, v):
 
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                   factor_dtype, raw: bool = False, mesh=None,
-                  mesh_axis: str = "row", sparse=None):
+                  mesh_axis: str = "row", sparse=None, warm: bool = False):
     """Builds the jitted solve function for this (layout, settings,
     dims) signature.  The returned fn maps a dict of device arrays
     {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
@@ -407,6 +407,33 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
         # -------------------- initialization (solver.jl:383-404)
         def default_start():
+            if warm:
+                # Warm start (no reference counterpart — iterates always
+                # restart there, data_updating.jl): user iterates in the
+                # scaled space, nudged to a small strictly-interior
+                # margin.  The cold start's shift_to_cone_interior
+                # targets margin >= 1 (variables.jl:180-208), which
+                # would erase a near-optimal point whose active
+                # constraints sit at margin ~ 0; here the floor is a
+                # small multiple of the point's scale so the supplied
+                # centrality survives.  tau = 1 and kappa = mu0 place
+                # the homogeneous embedding at that centrality.
+                def interior(vec, pd):
+                    min_margin, _ = cone_ops.margins(layout, vec, pd)
+                    floor = 1e-6 * (1.0 + jnp.max(jnp.abs(vec)))
+                    shift = jnp.maximum(floor - min_margin, 0.0)
+                    return cone_ops.scaled_unit_shift(layout, vec, shift, pd)
+
+                s0 = interior(dev["ws_s"], cone_ops.PRIMAL)
+                z0 = interior(dev["ws_z"], cone_ops.DUAL)
+                mu0 = jnp.maximum((s0 @ z0) / deg1, 1e-8)
+                return {
+                    "x": dev["ws_x"],
+                    "s": s0,
+                    "z": z0,
+                    "tau": jnp.asarray(1.0),
+                    "kappa": mu0,
+                }
             if sym:
                 scal0 = cone_ops.set_identity_scaling(layout)
                 if sparse is None:
@@ -737,6 +764,10 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             "iterations": final["iter"],
             "r_prim": info["res_primal"],
             "r_dual": info["res_dual"],
+            # partial (infeasibility-certificate) residuals, part of the
+            # reference's DefaultInfo surface (types.jl:209-251)
+            "res_primal_inf": info["res_primal_inf"],
+            "res_dual_inf": info["res_dual_inf"],
             "gap_abs": info["gap_abs"],
             "gap_rel": info["gap_rel"],
             "ktratio": info["ktratio"],

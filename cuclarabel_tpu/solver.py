@@ -81,9 +81,11 @@ def _to_dense(M, shape) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=128)
-def _cached_solve_fn(layout, settings, n, m, has_P, factor_dtype_name):
+def _cached_solve_fn(layout, settings, n, m, has_P, factor_dtype_name,
+                     warm=False):
     factor_dtype = jnp.float32 if factor_dtype_name == "float32" else jnp.float64
-    return make_solve_fn(layout, settings, n, m, has_P, factor_dtype)
+    return make_solve_fn(layout, settings, n, m, has_P, factor_dtype,
+                         warm=warm)
 
 
 def _resolve_factor_dtype(settings, layout=None) -> str:
@@ -225,11 +227,49 @@ class Solver:
         return self
 
     # ------------------------------------------------------------------
-    def solve(self, profile_dir: Optional[str] = None) -> DefaultSolution:
+    def solve(self, profile_dir: Optional[str] = None,
+              warm_start=None) -> DefaultSolution:
         """Run the IPM.  With profile_dir set, wraps the device program
         in a jax.profiler trace (viewable in TensorBoard/XProf) — the
         TPU-native counterpart of the reference's hierarchical timers
-        (TimerOutputs, src/types.jl:362-372) for on-device detail."""
+        (TimerOutputs, src/types.jl:362-372) for on-device detail.
+
+        warm_start=(x, s, z) seeds the iterates (original problem
+        space, e.g. a previous DefaultSolution's fields after an
+        update_data) instead of the cold start — a capability the
+        reference does not offer (its iterates always restart,
+        data_updating.jl).  The iterates are scaled into the
+        equilibrated space and pushed to the cone interior; only exact
+        cone membership of shapes is required, not feasibility.
+        Supported for symmetric-cone problems (zero/NN/SOC/PSD) without
+        presolve reductions or chordal decomposition."""
+        if warm_start is not None:
+            if not self.layout.is_symmetric:
+                raise ValueError(
+                    "warm_start supports symmetric-cone problems only"
+                )
+            self._check_update_allowed()  # same presolve/chordal guards
+            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
+            if wx.shape != (self.n,) or ws.shape != (self.m,) \
+                    or wz.shape != (self.m,):
+                raise ValueError("warm_start shapes must be (n,), (m,), (m,)")
+            # into the equilibrated space: inverse of the loop's unscale
+            # (variables.jl:247-275 semantics) at tau = 1
+            d = np.asarray(self._dev["d"])
+            e = np.asarray(self._dev["e"])
+            cscale = float(np.asarray(self._dev["cscale"]))
+            self._dev["ws_x"] = jnp.asarray(wx / d)
+            self._dev["ws_s"] = jnp.asarray(ws * e)
+            self._dev["ws_z"] = jnp.asarray(wz / e * cscale)
+            solve_fn = _cached_solve_fn(
+                self.layout, self.settings, self.n, self.m, self._has_P,
+                _resolve_factor_dtype(self.settings, self.layout),
+                warm=True,
+            )
+        else:
+            for k in ("ws_x", "ws_s", "ws_z"):
+                self._dev.pop(k, None)  # keep the cold fn's pytree stable
+            solve_fn = self._solve_fn
         if self.settings.verbose:
             from . import info_print
 
@@ -255,7 +295,7 @@ class Solver:
             self._dev["t_start"] = jnp.asarray(time.time())
         t0 = time.perf_counter()
         with trace_ctx:
-            out = self._solve_fn(self._dev)
+            out = solve_fn(self._dev)
             jax.block_until_ready(out)
         out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
@@ -276,6 +316,19 @@ class Solver:
             s, z = presolve_mod.reverse_presolve(self.presolver, s, z)
 
         self.info = {k: out[k] for k in out}
+        self.info["solve_time"] = solve_time
+        # linear-solver block of the reference's DefaultInfo
+        # (types.jl:209-251: name / threads / nnzA / nnzL analog)
+        N = self.n + self.m
+        self.info["linear_solver"] = {
+            "method": self.settings.kkt_solve_method,
+            "factor_precision": _resolve_factor_dtype(
+                self.settings, self.layout
+            ),
+            "kkt_dim": N,
+            "nnzA": int(np.count_nonzero(self._As)),
+            "nnzL": N * (N + 1) // 2,  # dense factor
+        }
         self.solution = DefaultSolution(
             x=x,
             z=z,

@@ -179,3 +179,23 @@ def test_profile_phases_device_breakdown():
                 "residuals", "step_length"):
         assert key in ph and ph[key] > 0.0
     assert s.timers["device"] == ph
+
+
+def test_info_surface_parity():
+    """get_info carries the reference DefaultInfo surface: partial
+    infeasibility residuals, solve time, and the linear-solver block
+    (types.jl:209-251)."""
+    import cuclarabel_tpu as cc
+
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.vstack([np.array([[1.0, 1.0]]), np.eye(2), -np.eye(2)])
+    b = np.array([1.0, 0.7, 0.7, 0.0, 0.0])
+    s = cc.Solver(P, q, A, b, [cc.ZeroConeT(1), cc.NonnegativeConeT(4)])
+    s.solve()
+    info = s.get_info()
+    for key in ("res_primal_inf", "res_dual_inf", "solve_time",
+                "linear_solver", "mu", "sigma", "step_length", "ktratio"):
+        assert key in info, key
+    ls = info["linear_solver"]
+    assert ls["kkt_dim"] == 7 and ls["nnzA"] == 6

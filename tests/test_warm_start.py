@@ -1,0 +1,77 @@
+"""Warm starting (capability beyond the reference: its iterates always
+restart — data_updating.jl).  solve(warm_start=(x, s, z)) seeds the
+IPM from a previous solution; with update_data this is the MPC /
+scenario re-solve path."""
+
+import numpy as np
+import pytest
+
+import cuclarabel_tpu as cc
+from cuclarabel_tpu.statuscodes import SolverStatus
+
+
+def _qp(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    F = rng.standard_normal((n, 8))
+    P = 2 * (F @ F.T + 0.1 * np.eye(n))
+    q = -rng.standard_normal(n)
+    A = np.vstack([np.ones((1, n)), -np.eye(n), np.eye(n)])
+    b = np.concatenate([[1.0], np.zeros(n), np.ones(n) * 0.5])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2 * n)]
+    return P, q, A, b, cones
+
+
+def test_warm_start_fewer_iterations():
+    P, q, A, b, cones = _qp()
+    s = cc.Solver(P, q, A, b, cones, presolve_enable=False)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+
+    rng = np.random.default_rng(1)
+    s.update_q(q + 0.01 * rng.standard_normal(len(q)))
+    warm = s.solve(warm_start=(sol.x, sol.s, sol.z))
+    cold = s.solve()
+    assert warm.status == SolverStatus.SOLVED
+    assert abs(warm.obj_val - cold.obj_val) < 1e-7 * max(1, abs(cold.obj_val))
+    np.testing.assert_allclose(warm.x, cold.x, atol=1e-6)
+    # the point of warm starting: a small data change re-solves in
+    # strictly fewer iterations than the cold start
+    assert warm.iterations < cold.iterations
+
+
+def test_warm_start_socp():
+    # min -mu'w s.t. sum w = 1, w >= 0, ||G w|| <= gamma
+    rng = np.random.default_rng(2)
+    n = 8
+    G = rng.standard_normal((5, n)) / 4.0
+    mu = rng.random(n)
+    q = -mu
+    A = np.vstack([np.ones((1, n)), -np.eye(n), np.zeros((1, n)), -G])
+    b = np.concatenate([[1.0], np.zeros(n), [0.3], np.zeros(5)])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(n),
+             cc.SecondOrderConeT(6)]
+    s = cc.Solver(None, q, A, b, cones, presolve_enable=False)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    s.update_q(q * 1.01)
+    warm = s.solve(warm_start=(sol.x, sol.s, sol.z))
+    cold = s.solve()
+    assert warm.status == SolverStatus.SOLVED
+    assert abs(warm.obj_val - cold.obj_val) < 1e-6
+    assert warm.iterations <= cold.iterations
+
+
+def test_warm_start_guards():
+    P, q, A, b, cones = _qp(n=6)
+    s = cc.Solver(P, q, A, b, cones, presolve_enable=False)
+    sol = s.solve()
+    with pytest.raises(ValueError):
+        s.solve(warm_start=(sol.x[:-1], sol.s, sol.z))  # bad shape
+
+    # nonsymmetric problems are rejected
+    m2 = cc.Solver(
+        None, np.array([1.0, 0.0, 0.0]),
+        -np.eye(3), np.zeros(3), [cc.ExponentialConeT()],
+    )
+    with pytest.raises(ValueError):
+        m2.solve(warm_start=(np.zeros(3), np.ones(3), np.ones(3)))
