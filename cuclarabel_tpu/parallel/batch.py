@@ -133,25 +133,38 @@ def make_batch_solve_fn(
     has_P: bool,
     factor_dtype_name: str,
     mesh_shape: Optional[tuple] = None,
+    warm: bool = False,
 ):
     """Jitted batched solve: (P, A, q, b) with leading batch axis ->
     batched solution dict.  With mesh_shape=(k,) the batch axis shards
     over a k-device mesh ('batch' axis — the dp axis of this workload).
+    With warm=True the function takes three extra (B, n)/(B, m)/(B, m)
+    arrays of warm-start iterates in the original problem space.
     """
     import math
 
     factor_dtype = jnp.float32 if factor_dtype_name == "float32" else jnp.float64
-    base = make_solve_fn(layout, settings, n, m, has_P, factor_dtype, raw=True)
+    base = make_solve_fn(layout, settings, n, m, has_P, factor_dtype, raw=True,
+                         warm=warm)
     has_time_limit = math.isfinite(settings.time_limit)
 
-    def solve_one(P, A, q, b, t_start):
+    def solve_one(P, A, q, b, t_start, *ws):
         b = jnp.minimum(b, get_infinity())  # problemdata.jl:58-62
         dev = device_equilibrate(P, A, q, b, layout, settings)
         if has_time_limit:
             dev["t_start"] = t_start
+        if warm:
+            wx, wsv, wz = ws
+            # into the equilibrated space (inverse of the loop's
+            # unscale at tau = 1); equilibration runs on device here,
+            # so the scaling is only known inside the traced fn
+            dev["ws_x"] = wx * dev["dinv"]
+            dev["ws_s"] = wsv * dev["e"]
+            dev["ws_z"] = wz * dev["einv"] * dev["cscale"]
         return base(dev)
 
-    batched = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, None))
+    extra = (0, 0, 0) if warm else ()
+    batched = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, None) + extra)
 
     if mesh_shape is None:
         return jax.jit(batched)
@@ -165,7 +178,8 @@ def make_batch_solve_fn(
     # out: every leaf carries the batch axis
     return jax.jit(
         batched,
-        in_shardings=(shard, shard, shard, shard, repl),
+        in_shardings=(shard, shard, shard, shard, repl)
+        + ((shard,) * 3 if warm else ()),
         out_shardings=shard,
     )
 
@@ -230,6 +244,7 @@ class BatchSolver:
         mesh_shape = (n_devices,) if n_devices > 1 else None
         if n_devices > 1 and B % n_devices != 0:
             raise ValueError("batch size must divide evenly across devices")
+        self._mesh_shape = mesh_shape
         self._fn = make_batch_solve_fn(
             self.layout,
             settings,
@@ -275,12 +290,36 @@ class BatchSolver:
             bd = jnp.asarray(b)
         self._args = (Pd, Ad, qd, bd)
 
-    def solve(self):
+    def solve(self, warm_start=None):
+        """warm_start=(X, S, Z) with shapes (B, n), (B, m), (B, m) in
+        the original problem space (e.g. stacked fields of the previous
+        batch's solutions) seeds every problem's iterates — see
+        Solver.solve(warm_start=...); symmetric-cone layouts only."""
         import time as _time
 
-        out = jax.device_get(
-            self._fn(*self._args, jnp.asarray(_time.time()))
-        )
+        if warm_start is not None:
+            if not self.layout.is_symmetric:
+                raise ValueError(
+                    "warm_start supports symmetric-cone problems only"
+                )
+            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
+            if wx.shape != (self.B, self.n) or ws.shape != (self.B, self.m) \
+                    or wz.shape != (self.B, self.m):
+                raise ValueError(
+                    "warm_start shapes must be (B,n), (B,m), (B,m)")
+            fn = make_batch_solve_fn(
+                self.layout, self.settings, self.n, self.m, self._has_P,
+                _resolve_factor_dtype(self.settings, self.layout),
+                self._mesh_shape, warm=True,
+            )
+            out = jax.device_get(fn(
+                *self._args, jnp.asarray(_time.time()),
+                jnp.asarray(wx), jnp.asarray(ws), jnp.asarray(wz),
+            ))
+        else:
+            out = jax.device_get(
+                self._fn(*self._args, jnp.asarray(_time.time()))
+            )
         sols = []
         for i in range(self.B):
             sols.append(
