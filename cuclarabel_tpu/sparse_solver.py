@@ -329,16 +329,44 @@ class SparseSolver:
         self.update_A(A)
         self.update_b(b)
 
-    def solve(self) -> DefaultSolution:
+    def solve(self, warm_start=None) -> DefaultSolution:
+        """warm_start=(x, s, z): seed the IPM from a prior solution
+        (original problem space; symmetric-cone layouts without
+        presolve/chordal reductions) — see Solver.solve."""
         import jax
         import math
 
         import jax.numpy as jnp
 
+        if warm_start is not None:
+            if not self.layout.is_symmetric:
+                raise ValueError(
+                    "warm_start supports symmetric-cone problems only"
+                )
+            self._check_update_allowed()
+            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
+            if wx.shape != (self.n,) or ws.shape != (self.m,) \
+                    or wz.shape != (self.m,):
+                raise ValueError(
+                    "warm_start shapes must be (n,), (m,), (m,)")
+            self._dev["ws_x"] = jnp.asarray(wx / self._d)
+            self._dev["ws_s"] = jnp.asarray(ws * self._e)
+            self._dev["ws_z"] = jnp.asarray(wz / self._e * self._c)
+            if not hasattr(self, "_warm_fn"):
+                self._warm_fn = make_solve_fn(
+                    self.layout, self.settings, self.n, self.m,
+                    self._has_P, jnp.float64, sparse=self._sp, warm=True,
+                )
+            solve_fn = self._warm_fn
+        else:
+            for k in ("ws_x", "ws_s", "ws_z"):
+                self._dev.pop(k, None)
+            solve_fn = self._solve_fn
+
         if math.isfinite(self.settings.time_limit):
             self._dev["t_start"] = jnp.asarray(time.time())
         t0 = time.perf_counter()
-        out = self._solve_fn(self._dev)
+        out = solve_fn(self._dev)
         out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 

@@ -103,3 +103,22 @@ def test_batch_warm_start():
     for wsol, csol in zip(warm, cold):
         assert abs(wsol.obj_val - csol.obj_val) < 1e-6
     assert sum(s.iterations for s in warm) < sum(s.iterations for s in cold)
+
+
+def test_sparse_warm_start():
+    """SparseSolver.solve(warm_start=...) through the device
+    multifrontal path."""
+    import scipy.sparse as sp
+    from cuclarabel_tpu.sparse_solver import SparseSolver
+
+    P, q, A, b, cones = _qp(n=24, seed=5)
+    s = SparseSolver(sp.csc_matrix(np.triu(P)), q, sp.csc_matrix(A), b,
+                     cones, presolve_enable=False)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    s.update_q(q * 1.01)
+    warm = s.solve(warm_start=(sol.x, sol.s, sol.z))
+    cold = s.solve()
+    assert warm.status == SolverStatus.SOLVED
+    assert abs(warm.obj_val - cold.obj_val) < 1e-6 * max(1, abs(cold.obj_val))
+    assert warm.iterations <= cold.iterations
