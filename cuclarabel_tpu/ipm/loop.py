@@ -420,8 +420,12 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 # the homogeneous embedding at that centrality.
                 def interior(vec, pd):
                     min_margin, _ = cone_ops.margins(layout, vec, pd)
-                    floor = 1e-6 * (1.0 + jnp.max(jnp.abs(vec)))
-                    shift = jnp.maximum(floor - min_margin, 0.0)
+                    # fixed small floor in the equilibrated space (Ruiz
+                    # keeps entries near O(1)); scaling the floor by
+                    # max|vec| would let one legitimately large entry
+                    # inflate the shift applied to every cone and erase
+                    # the supplied centrality
+                    shift = jnp.maximum(1e-6 - min_margin, 0.0)
                     return cone_ops.scaled_unit_shift(layout, vec, shift, pd)
 
                 s0 = interior(dev["ws_s"], cone_ops.PRIMAL)

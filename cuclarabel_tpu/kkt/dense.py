@@ -81,6 +81,27 @@ def pivotfree_inv(M):
     return jnp.concatenate([top, bot], axis=0)
 
 
+def resolve_kkt_method(settings, N: int) -> str:
+    """Resolve kkt_solve_method='auto' to the backend actually used.
+
+    TPU: the double-float Pallas LDL engine wins end-to-end at every
+    batch size (v5e, portfolio SOCP: 2193/s vs 1872/s at B=256,
+    2264/s vs 398/s at B=4096 against the f32-inverse path) with
+    f64-grade factors — see pallas_dd.py.  The kernel is UNROLLED over
+    N pivots, so Mosaic compile memory grows ~N^3-ish: past N ~ 128 the
+    remote compile helper OOMs (observed SIGKILL at N=160) and the
+    (N,N,128) hi/lo fronts outgrow VMEM — fall back to the
+    explicit-inverse path there.  Elsewhere the interpret-mode kernels
+    are slow: pivoted LU."""
+    method = settings.kkt_solve_method
+    if method == "auto":
+        if jax.default_backend() in ("tpu", "axon"):
+            method = "pallas" if N <= 128 else "inverse"
+        else:
+            method = "lu"
+    return method
+
+
 def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
     """Returns (factorize, solve):
 
@@ -109,21 +130,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
     dsigns = _np.concatenate([_np.ones(n), -_np.ones(m)])
 
-    method = settings.kkt_solve_method
-    if method == "auto":
-        # TPU: the double-float Pallas LDL engine wins end-to-end at
-        # every batch size (v5e, portfolio SOCP: 2193/s vs 1872/s at
-        # B=256, 2264/s vs 398/s at B=4096 against the f32-inverse
-        # path) with f64-grade factors — see pallas_dd.py.  The kernel
-        # is UNROLLED over N pivots, so Mosaic compile memory grows
-        # ~N^3-ish: past N ~ 128 the remote compile helper OOMs
-        # (observed SIGKILL at N=160) and the (N,N,128) hi/lo fronts
-        # outgrow VMEM — fall back to the explicit-inverse path there.
-        # Elsewhere the interpret-mode kernels are slow: pivoted LU.
-        if jax.default_backend() in ("tpu", "axon"):
-            method = "pallas" if N <= 128 else "inverse"
-        else:
-            method = "lu"
+    method = resolve_kkt_method(settings, N)
 
     def _assemble(P, A, Hs):
         top = jnp.concatenate([P, A.T], axis=1)
@@ -205,6 +212,19 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         # 2 fused passes leave the outer tolerance loop rarely taken
         npass_fused = max(0, min(2, ir_maxiter)) if ir_enable else 0
 
+
+        def _require_all_batched(in_batched):
+            # these rules move axis 0 of EVERY operand to the lane
+            # dim; a partially-batched call (e.g. a shared factor
+            # under vmap(..., in_axes=(None, 0, ...))) would silently
+            # misroute axes — fail loudly instead
+            if not all(in_batched):
+                raise NotImplementedError(
+                    "dd custom_vmap rules require every operand to "
+                    "carry the mapped axis; broadcast the factor "
+                    "leaves before vmapping"
+                )
+
         @custom_vmap
         def _dd_factor(Ksp, regp):
             # Ksp (N, N) f64 scaled+permuted UNregularized; regp (N,)
@@ -220,6 +240,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_factor.def_vmap
         def _dd_factor_vmap(axis_size, in_batched, Ksp, regp):
+            _require_all_batched(in_batched)
             KT = jnp.moveaxis(Ksp, 0, -1)  # (N, N, B) lane-major
             Kh, Kl = split_f64(KT)
             regT = jnp.moveaxis(regp, 0, -1).astype(jnp.float32)
@@ -242,6 +263,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_solve.def_vmap
         def _dd_solve_vmap(axis_size, in_batched, Lh, Ll, Dh, Dl, bs):
+            _require_all_batched(in_batched)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))
             xh, xl = dd_ldl_solve(
@@ -262,6 +284,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_resid.def_vmap
         def _dd_resid_vmap(axis_size, in_batched, Kh, Kl, xs, bs):
+            _require_all_batched(in_batched)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             xh, xl = split_f64(lane(xs))
             bh, bl = split_f64(lane(bs))
@@ -283,6 +306,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         @_dd_refsolve.def_vmap
         def _dd_refsolve_vmap(axis_size, in_batched, Kh, Kl, Lh, Ll,
                               Dh, Dl, bs):
+            _require_all_batched(in_batched)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))
             xh, xl, rh, rl = dd_ldl_solve_refine(
@@ -433,6 +457,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_solve2.def_vmap
         def _dd_solve2_vmap(axis_size, in_batched, Lh, Ll, Dh, Dl, bs):
+            _require_all_batched(in_batched)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))  # (N, 2, B)
             xh, xl = dd_ldl_solve_r(
@@ -454,6 +479,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         @_dd_refsolve2.def_vmap
         def _dd_refsolve2_vmap(axis_size, in_batched, Kh, Kl, Lh, Ll,
                                Dh, Dl, bs):
+            _require_all_batched(in_batched)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))
             xh, xl, rh, rl = dd_ldl_solve_refine_r(
@@ -472,7 +498,14 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             right-hand sides exist as soon as the factor does).  The
             substitution chain's sequential latency is paid once for
             both systems; per-(rhs, lane) refinement gating matches
-            _dd_kkt_solve exactly."""
+            _dd_kkt_solve exactly.
+
+            KEEP IN SYNC with _dd_kkt_solve above: the refinement
+            acceptance semantics (accept on ratio > 1.0, continue on
+            ratio > min(ir_stopratio, 1.2), nir seeded at npass_fused)
+            are intentionally duplicated rather than unified — folding
+            the single-RHS path into an r=1 call of these kernels
+            would re-lower the proven combined-solve path."""
             dj = fac["dj"]
             djp = dj[permj]
             b1 = jnp.concatenate([rx1, rz1])

@@ -65,6 +65,10 @@ def phase_breakdown(solver, reps: int = 3) -> Dict[str, float]:
     mu = jnp.asarray(1.0)
     res: Dict[str, float] = {}
 
+    # NB: device operands (P, A, iterates) are passed as jit ARGUMENTS,
+    # never closed over — a closed-over device array is embedded as an
+    # MLIR constant at lowering time via a device->host readback, which
+    # is pathologically slow on remote (tunneled) backends.
     with jax.default_matmul_precision("highest"):
         scal_fn = jax.jit(
             lambda s_, z_: cone_ops.update_scaling(layout, s_, z_, mu, 0)
@@ -76,9 +80,9 @@ def phase_breakdown(solver, reps: int = 3) -> Dict[str, float]:
         res["hs_assembly"] = _timeit(hs_fn, scal, reps=reps)
         Hs = hs_fn(scal)
 
-        fac_fn = jax.jit(lambda Hs_: factorize(P, A, Hs_)[0])
-        res["kkt_factor"] = _timeit(fac_fn, Hs, reps=reps)
-        fac = fac_fn(Hs)
+        fac_fn = jax.jit(lambda P_, A_, Hs_: factorize(P_, A_, Hs_)[0])
+        res["kkt_factor"] = _timeit(fac_fn, P, A, Hs, reps=reps)
+        fac = fac_fn(P, A, Hs)
 
         rx = -dev["q"]
         rz = dev["b"]
@@ -90,19 +94,20 @@ def phase_breakdown(solver, reps: int = 3) -> Dict[str, float]:
             pair_fn = jax.jit(lambda f, a, c: pair(f, a, c, 2 * a, 2 * c)[:4])
             res["kkt_solve_pair"] = _timeit(pair_fn, fac, rx, rz, reps=reps)
 
-        def resid_fn(x_, z_):
-            return A.T @ z_ + (P @ x_ if solver._has_P else 0.0), A @ x_
+        def resid_fn(P_, A_, x_, z_):
+            return A_.T @ z_ + (P_ @ x_ if solver._has_P else 0.0), A_ @ x_
 
         res["residuals"] = _timeit(
-            jax.jit(resid_fn), rx, rz, reps=reps
+            jax.jit(resid_fn), P, A, rx, rz, reps=reps
         )
 
         sl_fn = jax.jit(
-            lambda sc, dz, ds: cone_ops.step_length(
-                layout, sc, dz, ds, z0, s0, jnp.asarray(1.0), st
+            lambda sc, dz, ds, z_, s_: cone_ops.step_length(
+                layout, sc, dz, ds, z_, s_, jnp.asarray(1.0), st
             )
         )
-        res["step_length"] = _timeit(sl_fn, scal, -z0, -s0, reps=reps)
+        res["step_length"] = _timeit(sl_fn, scal, -z0, -s0, z0, s0,
+                                     reps=reps)
 
     solver.timers["device"] = res
     return res

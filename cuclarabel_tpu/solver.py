@@ -319,9 +319,11 @@ class Solver:
         self.info["solve_time"] = solve_time
         # linear-solver block of the reference's DefaultInfo
         # (types.jl:209-251: name / threads / nnzA / nnzL analog)
+        from .kkt.dense import resolve_kkt_method
+
         N = self.n + self.m
         self.info["linear_solver"] = {
-            "method": self.settings.kkt_solve_method,
+            "method": resolve_kkt_method(self.settings, N),
             "factor_precision": _resolve_factor_dtype(
                 self.settings, self.layout
             ),
