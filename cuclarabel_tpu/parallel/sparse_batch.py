@@ -207,34 +207,49 @@ class BatchSparseSolver:
         layout = self.layout
         has_time_limit = math.isfinite(settings.time_limit)
 
-        def solve_one(Pv, Av, q1, b1, spbufs, t_start):
-            b1 = jnp.minimum(b1, get_infinity())
-            dev = device_sparse_equilibrate(
-                Pv, Av, q1, b1, spbufs, n, m, layout, settings
+        if n_devices > 1 and B % n_devices != 0:
+            raise ValueError("batch size must divide evenly across devices")
+
+        def build_fn(warm: bool):
+            base_fn = base if not warm else make_solve_fn(
+                self.layout, settings, n, m, has_P, jnp.float64,
+                raw=True, sparse=self._sp, warm=True,
             )
-            dev["spbufs"] = spbufs
-            if has_time_limit:
-                dev["t_start"] = t_start
-            return base(dev)
 
-        batched = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, None, None))
-
-        if n_devices > 1:
-            if B % n_devices != 0:
-                raise ValueError(
-                    "batch size must divide evenly across devices"
+            def solve_one(Pv, Av, q1, b1, spbufs, t_start, *ws):
+                b1 = jnp.minimum(b1, get_infinity())
+                dev = device_sparse_equilibrate(
+                    Pv, Av, q1, b1, spbufs, n, m, layout, settings
                 )
-            devices = np.asarray(jax.devices()[:n_devices])
-            mesh = Mesh(devices, axis_names=("batch",))
-            shard = NamedSharding(mesh, PartitionSpec("batch"))
-            repl = NamedSharding(mesh, PartitionSpec())
-            self._fn = jax.jit(
-                batched,
-                in_shardings=(shard, shard, shard, shard, repl, repl),
-                out_shardings=shard,
+                dev["spbufs"] = spbufs
+                if has_time_limit:
+                    dev["t_start"] = t_start
+                if warm:
+                    wx, wsv, wz = ws
+                    dev["ws_x"] = wx * dev["dinv"]
+                    dev["ws_s"] = wsv * dev["e"]
+                    dev["ws_z"] = wz * dev["einv"] * dev["cscale"]
+                return base_fn(dev)
+
+            extra = (0, 0, 0) if warm else ()
+            batched = jax.vmap(
+                solve_one, in_axes=(0, 0, 0, 0, None, None) + extra
             )
-        else:
-            self._fn = jax.jit(batched)
+            if n_devices > 1:
+                devices = np.asarray(jax.devices()[:n_devices])
+                mesh = Mesh(devices, axis_names=("batch",))
+                shard = NamedSharding(mesh, PartitionSpec("batch"))
+                repl = NamedSharding(mesh, PartitionSpec())
+                return jax.jit(
+                    batched,
+                    in_shardings=(shard, shard, shard, shard, repl, repl)
+                    + ((shard,) * 3 if warm else ()),
+                    out_shardings=shard,
+                )
+            return jax.jit(batched)
+
+        self._build_fn = build_fn
+        self._fn = build_fn(False)
 
         self._args = (
             jnp.asarray(Pvb), jnp.asarray(Avb),
@@ -268,13 +283,34 @@ class BatchSparseSolver:
             repl(q, qb, "q"), repl(b, bb, "b"),
         )
 
-    def solve(self):
+    def solve(self, warm_start=None):
+        """warm_start=(X, S, Z), shapes (B, n)/(B, m)/(B, m) in the
+        original problem space — seeds every problem's iterates (see
+        Solver.solve); symmetric-cone layouts only."""
         import time as _time
 
-        out = jax.device_get(
-            self._fn(*self._args, self._spbufs,
-                     jnp.asarray(_time.time()))
-        )
+        if warm_start is not None:
+            if not self.layout.is_symmetric:
+                raise ValueError(
+                    "warm_start supports symmetric-cone problems only"
+                )
+            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
+            n, m = self._args[2].shape[1], self._args[3].shape[1]
+            if wx.shape != (self.B, n) or ws.shape != (self.B, m) \
+                    or wz.shape != (self.B, m):
+                raise ValueError(
+                    "warm_start shapes must be (B,n), (B,m), (B,m)")
+            if not hasattr(self, "_warm_fn"):
+                self._warm_fn = self._build_fn(True)
+            out = jax.device_get(self._warm_fn(
+                *self._args, self._spbufs, jnp.asarray(_time.time()),
+                jnp.asarray(wx), jnp.asarray(ws), jnp.asarray(wz),
+            ))
+        else:
+            out = jax.device_get(
+                self._fn(*self._args, self._spbufs,
+                         jnp.asarray(_time.time()))
+            )
         sols = []
         for i in range(self.B):
             sols.append(

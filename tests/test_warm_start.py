@@ -122,3 +122,32 @@ def test_sparse_warm_start():
     assert warm.status == SolverStatus.SOLVED
     assert abs(warm.obj_val - cold.obj_val) < 1e-6 * max(1, abs(cold.obj_val))
     assert warm.iterations <= cold.iterations
+
+
+def test_batch_sparse_warm_start():
+    """BatchSparseSolver.solve(warm_start=...) through the vmapped
+    multifrontal."""
+    import scipy.sparse as sp
+    from cuclarabel_tpu.parallel import BatchSparseSolver
+
+    P, q, A, b, cones = _qp(n=16, seed=6)
+    B = 4
+    rng = np.random.default_rng(7)
+    qb = np.broadcast_to(q, (B, len(q))) + 0.05 * rng.standard_normal(
+        (B, len(q)))
+    bb = np.broadcast_to(b, (B, len(b))).copy()
+    bs = BatchSparseSolver(sp.csc_matrix(np.triu(P)), qb,
+                           sp.csc_matrix(A), bb, cones)
+    sols = bs.solve()
+    assert all(s.status == SolverStatus.SOLVED for s in sols)
+    bs.update_data(q=qb * 1.01)
+    warm = bs.solve(warm_start=(
+        np.stack([s.x for s in sols]),
+        np.stack([s.s for s in sols]),
+        np.stack([s.z for s in sols]),
+    ))
+    cold = bs.solve()
+    assert all(s.status == SolverStatus.SOLVED for s in warm)
+    for wsol, csol in zip(warm, cold):
+        assert abs(wsol.obj_val - csol.obj_val) < 1e-6
+    assert sum(s.iterations for s in warm) <= sum(s.iterations for s in cold)
