@@ -139,6 +139,8 @@ class ShardedSolver:
             if _resolve_factor_dtype(settings, self.layout) == "float32"
             else jnp.float64
         )
+        self._mesh = mesh
+        self._factor_dtype = factor_dtype
         # Explicit block-arrow Schur partitioning (kkt/arrow.py):
         # diagonal Hs rows (NN + expanded-SOC + GenPow diagonals) are
         # eliminated per device; SOC rank-2 / GenPow rank-3 expansion
@@ -224,8 +226,49 @@ class ShardedSolver:
             self._put("b", e * bp)
             self._put("normb", np.float64(np.abs(b).max() if b.size else 0.0))
 
-    def solve(self) -> DefaultSolution:
-        out = jax.device_get(self._fn(self._dev))
+    def solve(self, warm_start=None) -> DefaultSolution:
+        """warm_start=(x, s, z) in the original problem space seeds the
+        iterates (see Solver.solve); symmetric-cone layouts only.  The
+        s/z iterates ride the mesh row packing (padded rows start at
+        the unit interior point)."""
+        if warm_start is not None:
+            if not self.layout.is_symmetric:
+                raise ValueError(
+                    "warm_start supports symmetric-cone problems only"
+                )
+            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
+            if wx.shape != (self.n,) or ws.shape != (self._m_orig,) \
+                    or wz.shape != (self._m_orig,):
+                raise ValueError(
+                    "warm_start shapes must be (n,), (m,), (m,)")
+            d, e, c = self._d, self._e, self._c
+            row = self._shardings["b"]
+            repl = self._shardings["q"]
+            self._shardings.setdefault("ws_x", repl)
+            self._shardings.setdefault("ws_s", row)
+            self._shardings.setdefault("ws_z", row)
+            # padding rows (0*x + s = 1): s = 1 is their solution and
+            # z = 0 their optimal dual (the loop's interior floor lifts
+            # it to a tiny margin) — a unit z here would dominate mu0
+            # and erase the warm point's centrality
+            self._put("ws_x", wx / d)
+            self._put("ws_s", self._pack_rows(ws, 1.0) * e)
+            self._put("ws_z", self._pack_rows(wz, 0.0) / e * c)
+            if not hasattr(self, "_warm_fn"):
+                base = make_solve_fn(
+                    self.layout, self.settings, self.n, self.m,
+                    self._has_P, self._factor_dtype, raw=True,
+                    mesh=self._mesh if self.tp_mode == "arrow" else None,
+                    mesh_axis="row", warm=True,
+                )
+                self._warm_fn = jax.jit(
+                    base, in_shardings=(dict(self._shardings),)
+                )
+            out = jax.device_get(self._warm_fn(self._dev))
+        else:
+            for k in ("ws_x", "ws_s", "ws_z"):
+                self._dev.pop(k, None)
+            out = jax.device_get(self._fn(self._dev))
         sel = self._dst_of_orig
         self.solution = DefaultSolution(
             x=np.asarray(out["x"]),

@@ -151,3 +151,20 @@ def test_batch_sparse_warm_start():
     for wsol, csol in zip(warm, cold):
         assert abs(wsol.obj_val - csol.obj_val) < 1e-6
     assert sum(s.iterations for s in warm) <= sum(s.iterations for s in cold)
+
+
+def test_sharded_warm_start():
+    """ShardedSolver.solve(warm_start=...) through the block-arrow TP
+    backend on an 8-device mesh."""
+    from cuclarabel_tpu.parallel import ShardedSolver
+
+    P, q, A, b, cones = _qp(n=16, seed=8)
+    s = ShardedSolver(P, q, A, b, cones, n_devices=8)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    s.update_data(q=q * 1.01)
+    warm = s.solve(warm_start=(sol.x, sol.s, sol.z))
+    cold = s.solve()
+    assert warm.status == SolverStatus.SOLVED
+    assert abs(warm.obj_val - cold.obj_val) < 1e-6 * max(1, abs(cold.obj_val))
+    assert warm.iterations <= cold.iterations
