@@ -44,7 +44,7 @@ def print_configuration(settings, n, m, cones, has_P, backend: str) -> None:
         rng = f"{dmin}" if dmin == dmax else f"{dmin} .. {dmax}"
         print(f"    : {name:<18s} = {len(dims)},  numel = ({rng})")
     print("settings:")
-    print(f"  linear algebra: dense KKT backend = {backend}")
+    print(f"  linear algebra: KKT backend = {backend}")
     print(
         f"  max iter = {settings.max_iter}, time limit = "
         f"{settings.time_limit},  max step = {settings.max_step_fraction:.3f}"

@@ -179,6 +179,7 @@ class SparseSolver:
                 self.chordal_info = info
 
         self.layout = build_layout(tuple(cones))
+        self._cones = list(cones)
         if self.layout.m != m:
             raise ValueError("cone dimensions inconsistent with b")
 
@@ -363,6 +364,14 @@ class SparseSolver:
                 self._dev.pop(k, None)
             solve_fn = self._solve_fn
 
+        if self.settings.verbose:
+            from . import info_print
+
+            info_print.print_banner(self.settings)
+            info_print.print_configuration(
+                self.settings, self.n, self.m, self._cones, self._has_P,
+                "sparse multifrontal",
+            )
         if math.isfinite(self.settings.time_limit):
             self._dev["t_start"] = jnp.asarray(time.time())
         t0 = time.perf_counter()
@@ -386,6 +395,12 @@ class SparseSolver:
             s_out, z_out = presolve_mod.reverse_presolve(
                 self.presolver, s_out, z_out
             )
+        if self.settings.verbose and "hist" in out:
+            from . import info_print
+
+            info_print.print_iteration_history(
+                np.asarray(out["hist"]), int(out["iterations"])
+            )
         self.solution = DefaultSolution(
             x=x_out,
             z=z_out,
@@ -398,4 +413,8 @@ class SparseSolver:
             r_prim=float(out["r_prim"]),
             r_dual=float(out["r_dual"]),
         )
+        if self.settings.verbose:
+            from . import info_print
+
+            info_print.print_footer(self.solution)
         return self.solution
