@@ -378,3 +378,17 @@ def test_dd_kkt_solve_pair_matches_two_solves():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(ov[2]), 2 * np.asarray(o1[0]),
                                atol=1e-10)
+
+
+def test_dd_solver_ir_disabled():
+    """kkt_solve_method='pallas' with iterative refinement off still
+    solves (the pair path's no-IR branch)."""
+    from cuclarabel_tpu.solver import Solver
+    from cuclarabel_tpu.statuscodes import SolverStatus
+
+    P, q, A, b, cones = _qp()
+    sol = Solver(P, q, A, b, cones, kkt_solve_method="pallas",
+                 iterative_refinement_enable=False).solve()
+    ref = Solver(P, q, A, b, cones).solve()
+    assert sol.status == SolverStatus.SOLVED
+    np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)
