@@ -306,11 +306,32 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     # rhs, refinement) — without it each site re-traces ~#levels * ops
     # and compile time explodes (measured 292 s at N=3201).  All sites
     # use identical shapes, so the one cached lowering serves them all.
+    #
+    # The chain is emitted 2-RHS wide (vmap over a trailing RHS axis):
+    # the level schedule's sequential latency — the binding cost at
+    # solve time — is paid once for both columns, so the constant-RHS
+    # and affine systems of each IPM iteration solve in one walk
+    # (solve.pair, mirroring the dense backend's kkt_solve.pair), and
+    # single-RHS call sites ride column 0 with a zero pad at ~no extra
+    # latency.  One lowered chain serves every site either way, so
+    # compile cost stays flat.
     @jax.jit
-    def _raw(fac, bvec):
-        x = mf_solve(plan, fac["mf"], bvec.astype(factor_dtype),
-                     fac["bufs"])
+    def _raw2(fac, bcols):
+        # bcols (Next, 2) f64 -> (Next, 2)
+        x = jax.vmap(
+            lambda bv: mf_solve(plan, fac["mf"],
+                                bv.astype(factor_dtype), fac["bufs"]),
+            in_axes=1, out_axes=1,
+        )(bcols)
         return x.astype(jnp.float64)
+
+    def _raw(fac, bvec):
+        return _raw2(fac, jnp.stack(
+            [bvec, jnp.zeros_like(bvec)], axis=1))[:, 0]
+
+    def _kmv2(fac, xcols):
+        return jax.vmap(lambda xc: _kmv(fac, xc), in_axes=1,
+                        out_axes=1)(xcols)
 
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, ...]:
         # extension rows carry zero RHS (kktsolver_directldl.jl:313-343)
@@ -352,5 +373,60 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         )
         return x[:n], x[n: n + m], okr & jnp.isfinite(norme), nir
 
+    def solve_pair(fac, rx1, rz1, rx2, rz2):
+        """Two refined solves against one factor in one level walk
+        (see the dense backend's kkt_solve.pair; same per-RHS
+        tolerance/acceptance semantics)."""
+        zext = jnp.zeros(2 * nx + 3 * ngx)
+        b1 = jnp.concatenate([rx1, rz1, zext])
+        b2 = jnp.concatenate([rx2, rz2, zext])
+        bs = jnp.stack([b1, b2], axis=1)  # (Next, 2)
+        x = _raw2(fac, bs)
+        if not ir_enable:
+            ok = jnp.all(jnp.isfinite(x))
+            return (x[:n, 0], x[n: n + m, 0], x[:n, 1], x[n: n + m, 1],
+                    ok, jnp.asarray(0))
+
+        normb = jnp.max(jnp.abs(bs), axis=0)  # (2,)
+        tol = ir_abstol + ir_reltol * normb
+        e0 = bs - _kmv2(fac, x)
+        norme0 = jnp.max(jnp.abs(e0), axis=0)
+        ok0 = jnp.isfinite(norme0)
+
+        def cond(c):
+            _, _, norme, i, stop, ok = c
+            live = (~stop) & ok & (norme > tol)
+            return (i < ir_maxiter) & jnp.any(live)
+
+        def body(c):
+            xc, e, norme, i, stop, okc = c
+            live = (~stop) & okc & (norme > tol)
+            dx = _raw2(fac, e)
+            xn = xc + dx
+            en = bs - _kmv2(fac, xn)
+            normen = jnp.max(jnp.abs(en), axis=0)
+            okn = jnp.isfinite(normen)
+            ratio = norme / jnp.where(normen > 0, normen, 1e-300)
+            accept = live & (ratio > 1.0)
+            keep_going = live & (ratio > min(ir_stopratio, 1.2))
+            am = accept[None, :]
+            return (
+                jnp.where(am, xn, xc),
+                jnp.where(am, en, e),
+                jnp.where(accept, normen, norme),
+                i + 1,
+                stop | ~keep_going,
+                jnp.where(live, okn, okc),
+            )
+
+        stop0 = jnp.zeros(2, dtype=bool)
+        x, _, norme, nir, _, okr = jax.lax.while_loop(
+            cond, body, (x, e0, norme0, 0, stop0, ok0)
+        )
+        ok = jnp.all(okr & jnp.isfinite(norme))
+        return (x[:n, 0], x[n: n + m, 0], x[:n, 1], x[n: n + m, 1],
+                ok, nir)
+
+    solve.pair = solve_pair
     sp_prob._kkt_memo[memo_key] = (factorize, solve, host_bufs)
     return factorize, solve, host_bufs
