@@ -148,6 +148,7 @@ def main():
                     "83-wide panels), peaks: 197 bf16 TFLOP/s, 819 GB/s"
                 ),
                 "ir_mean": round(nir_mean, 2),
+                "ipm_iters_per_s": round(BATCH * it_mean / batched_s, 1),
                 "rep_throughputs": [round(BATCH / s, 1) for s in rep_s],
             }
         )
