@@ -168,3 +168,40 @@ def test_sharded_warm_start():
     assert warm.status == SolverStatus.SOLVED
     assert abs(warm.obj_val - cold.obj_val) < 1e-6 * max(1, abs(cold.obj_val))
     assert warm.iterations <= cold.iterations
+
+
+def test_warm_start_sdp():
+    """Warm starting a problem with a PSD cone (svec margins/shift
+    path).  min tr(CX)-style SDP in svec form."""
+    rng = np.random.default_rng(9)
+    d = 4
+    sv = d * (d + 1) // 2
+    rt2 = np.sqrt(2.0)
+
+    def svec(M):
+        out = []
+        for j in range(d):
+            for i in range(j + 1):
+                out.append(M[i, j] * (1.0 if i == j else rt2))
+        return np.array(out)
+
+    # min <C, X> s.t. tr(X) = 1, X PSD   (x = svec(X))
+    G = rng.standard_normal((d, d))
+    C = (G + G.T) / 2
+    q = svec(C)
+    tr_row = svec(np.eye(d))
+    A = np.vstack([tr_row[None, :], -np.eye(sv)])
+    b = np.concatenate([[1.0], np.zeros(sv)])
+    cones = [cc.ZeroConeT(1), cc.PSDTriangleConeT(d)]
+    s = cc.Solver(None, q, A, b, cones, presolve_enable=False)
+    sol = s.solve()
+    assert sol.status == SolverStatus.SOLVED
+    # optimum = min eigenvalue of C
+    assert abs(sol.obj_val - np.linalg.eigvalsh(C).min()) < 1e-6
+
+    s.update_q(q * 1.01)
+    warm = s.solve(warm_start=(sol.x, sol.s, sol.z))
+    cold = s.solve()
+    assert warm.status == SolverStatus.SOLVED
+    assert abs(warm.obj_val - cold.obj_val) < 1e-6
+    assert warm.iterations <= cold.iterations
