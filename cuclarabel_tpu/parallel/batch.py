@@ -154,13 +154,14 @@ def make_batch_solve_fn(
         if has_time_limit:
             dev["t_start"] = t_start
         if warm:
+            from ..warmstart import scale_warm_start
+
             wx, wsv, wz = ws
-            # into the equilibrated space (inverse of the loop's
-            # unscale at tau = 1); equilibration runs on device here,
-            # so the scaling is only known inside the traced fn
-            dev["ws_x"] = wx * dev["dinv"]
-            dev["ws_s"] = wsv * dev["e"]
-            dev["ws_z"] = wz * dev["einv"] * dev["cscale"]
+            # equilibration runs on device here, so the scaling is only
+            # known inside the traced fn
+            dev["ws_x"], dev["ws_s"], dev["ws_z"] = scale_warm_start(
+                wx, wsv, wz, dev["d"], dev["e"], dev["cscale"]
+            )
         return base(dev)
 
     extra = (0, 0, 0) if warm else ()
@@ -298,15 +299,11 @@ class BatchSolver:
         import time as _time
 
         if warm_start is not None:
-            if not self.layout.is_symmetric:
-                raise ValueError(
-                    "warm_start supports symmetric-cone problems only"
-                )
-            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
-            if wx.shape != (self.B, self.n) or ws.shape != (self.B, self.m) \
-                    or wz.shape != (self.B, self.m):
-                raise ValueError(
-                    "warm_start shapes must be (B,n), (B,m), (B,m)")
+            from ..warmstart import validate_warm_start
+
+            wx, ws, wz = validate_warm_start(
+                self.layout, warm_start, self.n, self.m, batch=self.B
+            )
             fn = make_batch_solve_fn(
                 self.layout, self.settings, self.n, self.m, self._has_P,
                 _resolve_factor_dtype(self.settings, self.layout),

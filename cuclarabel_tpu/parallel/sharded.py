@@ -232,28 +232,33 @@ class ShardedSolver:
         s/z iterates ride the mesh row packing (padded rows start at
         the unit interior point)."""
         if warm_start is not None:
-            if not self.layout.is_symmetric:
-                raise ValueError(
-                    "warm_start supports symmetric-cone problems only"
-                )
-            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
-            if wx.shape != (self.n,) or ws.shape != (self._m_orig,) \
-                    or wz.shape != (self._m_orig,):
-                raise ValueError(
-                    "warm_start shapes must be (n,), (m,), (m,)")
+            from ..warmstart import validate_warm_start
+
+            wx, ws, wz = validate_warm_start(
+                self.layout, warm_start, self.n, self._m_orig
+            )
             d, e, c = self._d, self._e, self._c
-            row = self._shardings["b"]
-            repl = self._shardings["q"]
-            self._shardings.setdefault("ws_x", repl)
-            self._shardings.setdefault("ws_s", row)
-            self._shardings.setdefault("ws_z", row)
+            # NB: never grow self._shardings — the cold jit holds it
+            # (uncopied) as its in_shardings, and jit's snapshot
+            # semantics for that dict are not contractual
+            warm_shardings = dict(self._shardings)
+            warm_shardings["ws_x"] = self._shardings["q"]  # replicated
+            warm_shardings["ws_s"] = self._shardings["b"]  # row-sharded
+            warm_shardings["ws_z"] = self._shardings["b"]
             # padding rows (0*x + s = 1): s = 1 is their solution and
             # z = 0 their optimal dual (the loop's interior floor lifts
             # it to a tiny margin) — a unit z here would dominate mu0
             # and erase the warm point's centrality
-            self._put("ws_x", wx / d)
-            self._put("ws_s", self._pack_rows(ws, 1.0) * e)
-            self._put("ws_z", self._pack_rows(wz, 0.0) / e * c)
+            from ..warmstart import scale_warm_start
+
+            wsx, wss, wsz = scale_warm_start(
+                wx, self._pack_rows(ws, 1.0), self._pack_rows(wz, 0.0),
+                d, e, c,
+            )
+            for key, val in (("ws_x", wsx), ("ws_s", wss), ("ws_z", wsz)):
+                self._dev[key] = jax.device_put(
+                    np.asarray(val), warm_shardings[key]
+                )
             if not hasattr(self, "_warm_fn"):
                 base = make_solve_fn(
                     self.layout, self.settings, self.n, self.m,
@@ -262,7 +267,7 @@ class ShardedSolver:
                     mesh_axis="row", warm=True,
                 )
                 self._warm_fn = jax.jit(
-                    base, in_shardings=(dict(self._shardings),)
+                    base, in_shardings=(warm_shardings,)
                 )
             out = jax.device_get(self._warm_fn(self._dev))
         else:

@@ -225,10 +225,13 @@ class BatchSparseSolver:
                 if has_time_limit:
                     dev["t_start"] = t_start
                 if warm:
+                    from ..warmstart import scale_warm_start
+
                     wx, wsv, wz = ws
-                    dev["ws_x"] = wx * dev["dinv"]
-                    dev["ws_s"] = wsv * dev["e"]
-                    dev["ws_z"] = wz * dev["einv"] * dev["cscale"]
+                    dev["ws_x"], dev["ws_s"], dev["ws_z"] = (
+                        scale_warm_start(wx, wsv, wz, dev["d"], dev["e"],
+                                         dev["cscale"])
+                    )
                 return base_fn(dev)
 
             extra = (0, 0, 0) if warm else ()
@@ -290,16 +293,12 @@ class BatchSparseSolver:
         import time as _time
 
         if warm_start is not None:
-            if not self.layout.is_symmetric:
-                raise ValueError(
-                    "warm_start supports symmetric-cone problems only"
-                )
-            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
+            from ..warmstart import validate_warm_start
+
             n, m = self._args[2].shape[1], self._args[3].shape[1]
-            if wx.shape != (self.B, n) or ws.shape != (self.B, m) \
-                    or wz.shape != (self.B, m):
-                raise ValueError(
-                    "warm_start shapes must be (B,n), (B,m), (B,m)")
+            wx, ws, wz = validate_warm_start(
+                self.layout, warm_start, n, m, batch=self.B
+            )
             if not hasattr(self, "_warm_fn"):
                 self._warm_fn = self._build_fn(True)
             out = jax.device_get(self._warm_fn(

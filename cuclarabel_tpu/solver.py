@@ -244,23 +244,20 @@ class Solver:
         Supported for symmetric-cone problems (zero/NN/SOC/PSD) without
         presolve reductions or chordal decomposition."""
         if warm_start is not None:
-            if not self.layout.is_symmetric:
-                raise ValueError(
-                    "warm_start supports symmetric-cone problems only"
-                )
+            from .warmstart import scale_warm_start, validate_warm_start
+
             self._check_update_allowed()  # same presolve/chordal guards
-            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
-            if wx.shape != (self.n,) or ws.shape != (self.m,) \
-                    or wz.shape != (self.m,):
-                raise ValueError("warm_start shapes must be (n,), (m,), (m,)")
-            # into the equilibrated space: inverse of the loop's unscale
-            # (variables.jl:247-275 semantics) at tau = 1
-            d = np.asarray(self._dev["d"])
-            e = np.asarray(self._dev["e"])
-            cscale = float(np.asarray(self._dev["cscale"]))
-            self._dev["ws_x"] = jnp.asarray(wx / d)
-            self._dev["ws_s"] = jnp.asarray(ws * e)
-            self._dev["ws_z"] = jnp.asarray(wz / e * cscale)
+            wx, ws, wz = validate_warm_start(
+                self.layout, warm_start, self.n, self.m
+            )
+            wsx, wss, wsz = scale_warm_start(
+                wx, ws, wz,
+                np.asarray(self._dev["d"]), np.asarray(self._dev["e"]),
+                float(np.asarray(self._dev["cscale"])),
+            )
+            self._dev["ws_x"] = jnp.asarray(wsx)
+            self._dev["ws_s"] = jnp.asarray(wss)
+            self._dev["ws_z"] = jnp.asarray(wsz)
             solve_fn = _cached_solve_fn(
                 self.layout, self.settings, self.n, self.m, self._has_P,
                 _resolve_factor_dtype(self.settings, self.layout),

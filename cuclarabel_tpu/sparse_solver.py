@@ -340,19 +340,18 @@ class SparseSolver:
         import jax.numpy as jnp
 
         if warm_start is not None:
-            if not self.layout.is_symmetric:
-                raise ValueError(
-                    "warm_start supports symmetric-cone problems only"
-                )
+            from .warmstart import scale_warm_start, validate_warm_start
+
             self._check_update_allowed()
-            wx, ws, wz = (np.asarray(v, dtype=float) for v in warm_start)
-            if wx.shape != (self.n,) or ws.shape != (self.m,) \
-                    or wz.shape != (self.m,):
-                raise ValueError(
-                    "warm_start shapes must be (n,), (m,), (m,)")
-            self._dev["ws_x"] = jnp.asarray(wx / self._d)
-            self._dev["ws_s"] = jnp.asarray(ws * self._e)
-            self._dev["ws_z"] = jnp.asarray(wz / self._e * self._c)
+            wx, ws, wz = validate_warm_start(
+                self.layout, warm_start, self.n, self.m
+            )
+            wsx, wss, wsz = scale_warm_start(
+                wx, ws, wz, self._d, self._e, self._c
+            )
+            self._dev["ws_x"] = jnp.asarray(wsx)
+            self._dev["ws_s"] = jnp.asarray(wss)
+            self._dev["ws_z"] = jnp.asarray(wsz)
             if not hasattr(self, "_warm_fn"):
                 self._warm_fn = make_solve_fn(
                     self.layout, self.settings, self.n, self.m,

@@ -5,8 +5,23 @@ solve as a single vmapped program sharded over the available devices —
 the framework's data-parallel axis.  On one v5e chip this sustains
 2,200+ portfolio SOCPs/s at the full 1e-8 tolerance (see bench.py).
 
-Run:  python examples/batched_scenarios.py     (CPU or TPU)
+Run:  python examples/batched_scenarios.py (EXAMPLE_BACKEND=tpu for chip)
 """
+
+import os
+import sys
+
+# runnable from anywhere without installation; default to CPU (the
+# remote-TPU backend needs minutes of first-compile — set
+# EXAMPLE_BACKEND=tpu to opt in) and keep the persistent XLA:CPU cache
+# off (cross-host AOT loads can SIGILL; see tests/conftest.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("EXAMPLE_BACKEND", "cpu") == "cpu":
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", None)
 
 import time
 

@@ -6,8 +6,23 @@ symbolic analysis, and equilibration are all reused via update_data;
 warm starting from the previous solution cuts iteration counts by
 ~2-3x when the data change is small.
 
-Run:  python examples/mpc_warm_start.py        (CPU or TPU)
+Run:  python examples/mpc_warm_start.py   (EXAMPLE_BACKEND=tpu for chip)
 """
+
+import os
+import sys
+
+# runnable from anywhere without installation; default to CPU (the
+# remote-TPU backend needs minutes of first-compile — set
+# EXAMPLE_BACKEND=tpu to opt in) and keep the persistent XLA:CPU cache
+# off (cross-host AOT loads can SIGILL; see tests/conftest.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("EXAMPLE_BACKEND", "cpu") == "cpu":
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", None)
 
 import time
 

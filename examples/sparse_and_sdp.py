@@ -6,8 +6,23 @@
 2. A banded SDP decomposed into clique-sized PSD blocks (chordal
    decomposition), which stay sparse end-to-end.
 
-Run:  python examples/sparse_and_sdp.py        (CPU or TPU)
+Run:  python examples/sparse_and_sdp.py    (EXAMPLE_BACKEND=tpu for chip)
 """
+
+import os
+import sys
+
+# runnable from anywhere without installation; default to CPU (the
+# remote-TPU backend needs minutes of first-compile — set
+# EXAMPLE_BACKEND=tpu to opt in) and keep the persistent XLA:CPU cache
+# off (cross-host AOT loads can SIGILL; see tests/conftest.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("EXAMPLE_BACKEND", "cpu") == "cpu":
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", None)
 
 import time
 
