@@ -29,9 +29,41 @@ V5E_PEAK_BF16_TFLOPS = 197.0   # MXU peak, bf16 (jax-ml scaling book)
 V5E_HBM_GBPS = 819.0
 
 
+def _probe_device(timeout_s=300.0):
+    """The tunneled TPU backend can wedge for hours (observed: trivial
+    jits hang indefinitely).  Fail fast with a diagnostic instead of
+    hanging into the caller's timeout; a healthy tunnel answers a first
+    trivial jit in well under a minute."""
+    import threading
+
+    ok = [False]
+
+    def attempt():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 8))
+        (x @ x).block_until_ready()
+        ok[0] = True
+
+    t = threading.Thread(target=attempt, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok[0]:
+        import sys
+
+        print(
+            f"bench: device backend unresponsive after {timeout_s:.0f}s "
+            "(tunnel down?); aborting instead of hanging",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
     import jax
 
+    _probe_device()
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
