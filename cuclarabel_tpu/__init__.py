@@ -37,6 +37,30 @@ _jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: solver programs take 25-40s to compile
 # through remote TPU tunnels; cached executables load in <1s across
 # processes.  Only set if the user hasn't configured a cache themselves.
+#
+# CPU-backend caveat: XLA:CPU caches AOT-compiled machine code keyed by
+# the *compiling* host's CPU features.  On machines that migrate between
+# hosts (VMs/containers), loading another host's CPU executable can
+# SIGSEGV (cpu_aot_loader warns "machine type ... doesn't match").  When
+# the process is pinned to the CPU backend (JAX_PLATFORMS=cpu — e.g. the
+# multi-chip dryrun), the cache therefore goes into a per-host-fingerprint
+# subdirectory so stale foreign-host executables are never loaded.
+
+
+def _host_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith(("flags", "model name"))]
+        key = "".join(sorted(set(flags))) or "unknown"
+    except OSError:
+        import platform
+
+        key = platform.processor() or "unknown"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 if (
     _jax.config.jax_compilation_cache_dir is None
     and "JAX_COMPILATION_CACHE_DIR" not in _os.environ
@@ -44,6 +68,14 @@ if (
     _cache = _os.path.join(
         _os.path.expanduser("~"), ".cache", "cuclarabel_tpu", "jax_cache"
     )
+    # jax.config wins over the env var: sitecustomize presets
+    # JAX_PLATFORMS=axon, and the documented way to force CPU here is
+    # jax.config.update("jax_platforms", "cpu") after import.
+    _platforms = (
+        _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS") or ""
+    )
+    if _platforms.strip().lower() == "cpu":
+        _cache = _os.path.join(_cache, "cpu-" + _host_fingerprint())
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
