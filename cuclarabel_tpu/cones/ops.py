@@ -749,6 +749,56 @@ def combined_ds_shift(
     return shift
 
 
+def centrality_correction(layout: ConeLayout, state: ScalingState,
+                          z_t, s_t, lo, hi):
+    """Gondzio-corrector outlier term: v - clip(v, lo, hi) where
+    v = (W^{-T} s_t) o (W z_t) is the scaled complementarity of a TRIAL
+    point, with the clip applied spectrally (elementwise for NN; Jordan
+    eigenvalues for SOC; matrix eigenvalues for PSD).  Zero on zero-cone
+    and nonsymmetric-cone rows.  No reference counterpart — Clarabel.jl
+    (solver.jl:295-311) implements Mehrotra + one reduced correction
+    only; this op backs the optional `centrality_correctors` setting.
+
+    Adding the returned term to the combined-step `rhs.s` retargets the
+    linearized complementarity lambda o (W dz + W^{-T} ds) = -rhs.s of
+    outlier components from sigma*mu to their clipped projection."""
+    corr = jnp.zeros(layout.m)
+    if layout.has_nn:
+        vvals = s_t * z_t  # W^{-1}s o Wz = (s/w)(wz) elementwise
+        corr = jnp.where(
+            layout.nn_mask, vvals - jnp.clip(vvals, lo, hi), corr
+        )
+    if layout.has_soc:
+        zg = z_t[layout.soc_idx]
+        sg = s_t[layout.soc_idx]
+        eta = state["soc_eta"]
+        wg = state["soc_w"]
+        u = _soc_circ(
+            layout,
+            _soc_mul_Winv(layout, eta, wg, sg),
+            _soc_mul_W(layout, eta, wg, zg),
+        )
+        # Jordan spectral decomposition u = lam+ c+ + lam- c-,
+        # lam± = u0 ± ||u1||, c± = (1, ±u1/||u1||)/2
+        u0 = u[layout.soc_headpos]
+        n1 = jnp.sqrt(_soc_tail_sumsq(layout, u))
+        lam_p = u0 + n1
+        lam_m = u0 - n1
+        dp = lam_p - jnp.clip(lam_p, lo, hi)
+        dm = lam_m - jnp.clip(lam_m, lo, hi)
+        seg = layout.soc_seg
+        tail_coef = 0.5 * (dp - dm) / _safe_nonzero(n1)
+        vals = tail_coef[seg] * jnp.where(layout.soc_is_head, 0.0, u)
+        vals = vals.at[layout.soc_headpos].set(0.5 * (dp + dm))
+        corr = corr.at[layout.soc_idx].set(vals)
+    if layout.has_psd:
+        from . import psd as psdcone
+
+        corr = psdcone.centrality_correction(layout, state, z_t, s_t,
+                                             lo, hi, corr)
+    return corr
+
+
 def ds_from_dz_offset(layout: ConeLayout, state: ScalingState, ds, z):
     """out = W'(lambda \\ ds) for symmetric cones, out = ds for
     nonsymmetric cones, 0 for the zero cone (Delta_s_from_Delta_z_offset!

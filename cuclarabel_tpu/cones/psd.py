@@ -225,6 +225,27 @@ def combined_ds_shift(layout, state, step_z, step_s, sigma_mu, shift):
     return shift
 
 
+def centrality_correction(layout, state, z_t, s_t, lo, hi, corr):
+    """Gondzio-corrector outlier term for PSD blocks: the scaled trial
+    complementarity M = (W^{-T}S_t) o (W Z_t) is eigendecomposed and the
+    eigenvalues outside [lo, hi] are pushed back (spectral clip); the
+    returned svec term is M - clip(M).  See ops.centrality_correction
+    (no reference counterpart)."""
+    for r, idx in _groups(layout):
+        R = state[f"psd{r}_R"]
+        Rinv = state[f"psd{r}_Rinv"]
+        Dz = svec_to_mat(z_t[idx], r)
+        Ds = svec_to_mat(s_t[idx], r)
+        Wz = jnp.swapaxes(R, 1, 2) @ Dz @ R
+        Ws = Rinv @ Ds @ jnp.swapaxes(Rinv, 1, 2)
+        M = (Ws @ Wz + Wz @ Ws) * 0.5
+        lam, Q = jnp.linalg.eigh(M)
+        dlam = lam - jnp.clip(lam, lo, hi)
+        C = (Q * dlam[:, None, :]) @ jnp.swapaxes(Q, 1, 2)
+        corr = corr.at[idx].set(mat_to_svec(C, r))
+    return corr
+
+
 def ds_from_dz_offset(layout, state, ds, out):
     """out = W'(lambda \\ ds): lambda-inverse circ is elementwise
     2 Z_ij/(lam_i + lam_j), then W'(.) = R (.) R'

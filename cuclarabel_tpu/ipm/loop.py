@@ -644,6 +644,51 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             step_comb, okcb, nir_b = kkt_step(fac, x2, z2, v, scal, rhs_comb, False)
             kkt_ok = kkt_ok & okcb
 
+            # --- Gondzio multiple centrality correctors (optional; no
+            # reference counterpart — Clarabel.jl stops at the Mehrotra
+            # correction above).  Each round reuses the factorization:
+            # evaluate the trial point's scaled complementarity, push
+            # outlier components back into [bmin, bmax]*sigma*mu via one
+            # extra back-solve, keep the corrected step only if the step
+            # length improves by >=10% of the headroom probed.
+            # Symmetric-cone problems only (the nonsymmetric shift is
+            # gradient-based and has no product to retarget).
+            n_corr = int(st.centrality_correctors) if sym else 0
+            if n_corr > 0:
+                alpha_cc = get_step_length(
+                    v, step_comb, scal, scaling, combined=True
+                )
+                for _ in range(n_corr):
+                    abar = jnp.minimum(1.0, 1.08 * alpha_cc + 0.08)
+                    z_t = v["z"] + abar * step_comb["z"]
+                    s_t = v["s"] + abar * step_comb["s"]
+                    lo = st.corrector_beta_min * sigma_mu
+                    hi = st.corrector_beta_max * sigma_mu
+                    cadd = cone_ops.centrality_correction(
+                        layout, scal, z_t, s_t, lo, hi
+                    )
+                    tk = (v["tau"] + abar * step_comb["tau"]) * (
+                        v["kappa"] + abar * step_comb["kappa"]
+                    )
+                    rhs_try = dict(rhs_comb)
+                    rhs_try["s"] = rhs_comb["s"] + cadd
+                    rhs_try["kappa"] = rhs_comb["kappa"] + (
+                        tk - jnp.clip(tk, lo, hi)
+                    )
+                    step_try, okt, nir_t = kkt_step(
+                        fac, x2, z2, v, scal, rhs_try, False
+                    )
+                    alpha_try = get_step_length(
+                        v, step_try, scal, scaling, combined=True
+                    )
+                    accept = okt & (
+                        alpha_try >= alpha_cc + 0.1 * (abar - alpha_cc)
+                    )
+                    step_comb = where_tree(accept, step_try, step_comb)
+                    rhs_comb = where_tree(accept, rhs_try, rhs_comb)
+                    alpha_cc = jnp.where(accept, alpha_try, alpha_cc)
+                    nir_b = nir_b + jnp.where(accept, nir_t, 0)
+
             # --- numerical-error checkpoint (solver.jl:475-489)
             if not sym:
                 ne_retry = proceed & ~kkt_ok & (scaling == PRIMAL_DUAL)
@@ -658,7 +703,12 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
             # --- final step length + small-step checkpoint
             # (solver.jl:337-344,492-505)
-            alpha = get_step_length(v, step_comb, scal, scaling, combined=True)
+            if n_corr > 0:
+                alpha = alpha_cc  # already computed on the final step
+            else:
+                alpha = get_step_length(
+                    v, step_comb, scal, scaling, combined=True
+                )
             if not sym:
                 small_switch = (
                     active

