@@ -156,11 +156,50 @@ def gen_mixed(rng):
     return P, q, A, b, cones
 
 
+def gen_scaled_qp(rng):
+    """QP with badly scaled data (1e-6..1e6 row/col magnitudes) —
+    stresses Ruiz equilibration and the overflow-safe norms."""
+    P, q, A, b, cones = gen_qp(rng)
+    n = len(q)
+    dscale = 10.0 ** rng.uniform(-6, 6, n)
+    # scale variables: x' = x / dscale -> P' = D P D, q' = D q, A' = A D
+    P = (P * dscale).T * dscale
+    q = q * dscale
+    A = A * dscale[None, :]
+    rscale = 10.0 ** rng.uniform(-3, 3, A.shape[0])
+    A = A * rscale[:, None]
+    b = b * rscale
+    return P, q, A, b, cones
+
+
 GENS = {
     "lp": gen_lp, "qp": gen_qp, "socp": gen_socp, "exp": gen_exp,
     "pow": gen_pow, "genpow": gen_genpow, "sdp": gen_sdp,
-    "mixed": gen_mixed,
+    "mixed": gen_mixed, "scaled_qp": gen_scaled_qp,
 }
+
+
+def gen_prim_infeas(rng):
+    """x >= lo (elementwise), sum x <= ub < n*lo: primal infeasible."""
+    n = int(rng.integers(3, 10))
+    lo = 1.0
+    ub = n * lo - 1.0 - abs(rng.standard_normal())
+    q = rng.standard_normal(n)
+    A = np.vstack([-np.eye(n), np.ones((1, n))])
+    b = np.concatenate([-lo * np.ones(n), [ub]])
+    return None, q, A, b, [cc.NonnegativeConeT(n + 1)]
+
+
+def gen_dual_infeas(rng):
+    """min q'x with a strictly decreasing unbounded direction."""
+    n = int(rng.integers(3, 8))
+    q = -np.ones(n)          # descent along +e
+    A = -np.eye(n)           # x >= 0 only: unbounded below
+    b = np.zeros(n)
+    return None, q, A, b, [cc.NonnegativeConeT(n)]
+
+
+INFEAS = {"prim_infeas": gen_prim_infeas, "dual_infeas": gen_dual_infeas}
 
 
 def run_one(cls, seed, path):
@@ -168,16 +207,47 @@ def run_one(cls, seed, path):
 
     # deterministic per-class stream (hash() is salted per process)
     rng = np.random.default_rng([zlib.crc32(cls.encode()), seed])
-    P, q, A, b, cones = GENS[cls](rng)
+    gen = GENS.get(cls) or INFEAS[cls]
+    P, q, A, b, cones = gen(rng)
     if path == "dense":
         sol = cc.Solver(P, q, A, b, cones).solve()
     else:
         import scipy.sparse as sp
         Ps = sp.csc_matrix(P) if P is not None else None
         sol = cc.SparseSolver(Ps, q, sp.csc_matrix(A), b, cones).solve()
+    label = f"{cls}/{seed}/{path}"
+    if cls == "prim_infeas":
+        assert sol.status in (SolverStatus.PRIMAL_INFEASIBLE,
+                              SolverStatus.ALMOST_PRIMAL_INFEASIBLE), \
+            f"{label}: {sol.status}"
+        # certificate: A'z ~ 0, <b, z> < 0 (info.jl:301-318 semantics)
+        z = sol.z
+        assert b @ z < 0, f"{label}: b'z {b @ z}"
+        assert np.linalg.norm(A.T @ z, np.inf) < 1e-5 * max(
+            1.0, np.linalg.norm(z, np.inf)), label
+        assert np.isnan(sol.obj_val), label
+        return
+    if cls == "dual_infeas":
+        assert sol.status in (SolverStatus.DUAL_INFEASIBLE,
+                              SolverStatus.ALMOST_DUAL_INFEASIBLE), \
+            f"{label}: {sol.status}"
+        # certificate: direction x with Ax+s=0, s in K, <q, x> < 0
+        x = sol.x
+        assert q @ x < 0, f"{label}: q'x {q @ x}"
+        return
+    sol_tol = 1e-3 if cls == "scaled_qp" else None
     assert sol.status in (SolverStatus.SOLVED,
-                          SolverStatus.ALMOST_SOLVED), sol.status
-    _check(P, q, A, b, sol, f"{cls}/{seed}/{path}")
+                          SolverStatus.ALMOST_SOLVED), \
+        f"{label}: {sol.status}"
+    if cls == "scaled_qp":
+        # raw-space residuals of badly scaled data are only meaningful
+        # relative to the data magnitudes
+        x, s, z = sol.x, sol.s, sol.z
+        anorm = max(1.0, np.abs(A).max() * max(1.0, np.abs(x).max()))
+        r_prim = np.linalg.norm(A @ x + s - b, np.inf) / anorm
+        assert r_prim < sol_tol, f"{label}: r_prim {r_prim}"
+        return
+    _check(P, q, A, b, sol, label)
 
 
 def main():
@@ -188,7 +258,7 @@ def main():
         paths = [p] if p != "all" else paths
     fails = 0
     total = 0
-    for cls in GENS:
+    for cls in list(GENS) + list(INFEAS):
         for path in paths:
             if path == "sparse" and cls == "sdp":
                 pass  # PSD blocks route through sparse_hs_plan — covered
