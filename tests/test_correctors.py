@@ -214,6 +214,29 @@ def test_batch_correctors():
     assert max(s.iterations for s in corr) <= max(s.iterations for s in base)
 
 
+def test_correctors_with_termination_machinery():
+    """Correctors must not disturb the limit-exit classifications: the
+    unreachable-tolerance case still downgrades to ALMOST_SOLVED and a
+    1-iteration cap still reports MAX_ITERATIONS."""
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.vstack([np.array([[1.0, 1.0]]), np.eye(2), -np.eye(2)])
+    b = np.array([1.0, 0.7, 0.7, 0.0, 0.0])
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2), cc.NonnegativeConeT(2)]
+    sol = cc.Solver(
+        P, q, A, b, cones, centrality_correctors=2,
+        tol_gap_abs=1e-300, tol_gap_rel=1e-300, tol_feas=1e-300,
+    ).solve()
+    assert sol.status == cc.SolverStatus.ALMOST_SOLVED
+    assert abs(sol.obj_val - 1.88) < 1e-2
+    sol = cc.Solver(
+        P, q, A, b, cones, centrality_correctors=2, max_iter=1,
+        reduced_tol_gap_abs=1e-300, reduced_tol_gap_rel=1e-300,
+        reduced_tol_feas=1e-300,
+    ).solve()
+    assert sol.status == cc.SolverStatus.MAX_ITERATIONS
+
+
 def test_settings_validation():
     with pytest.raises(ValueError):
         cc.Settings(centrality_correctors=-1).validate()
