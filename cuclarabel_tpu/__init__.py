@@ -110,6 +110,16 @@ from .modeling import (
 
 __version__ = "0.1.0"
 
+
+def solver_name() -> str:
+    """Solver name string (reference: src/version.jl solver_name())."""
+    return "cuclarabel_tpu"
+
+
+def version() -> str:
+    """Package version string (reference: src/version.jl version())."""
+    return __version__
+
 __all__ = [
     "Solver",
     "DefaultSolution",

@@ -41,8 +41,11 @@ qd = jnp.asarray(qs)
 bd = jnp.asarray(bs)
 
 
+KKT_METHOD = os.environ.get("AB_KKT_METHOD", "pallas")
+
+
 def build(k_corr):
-    settings = Settings(kkt_solve_method="pallas",
+    settings = Settings(kkt_solve_method=KKT_METHOD,
                         centrality_correctors=k_corr)
     base = loop_mod.make_solve_fn(
         layout, settings, n, m, False, jnp.float32, raw=True
