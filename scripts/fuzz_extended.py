@@ -202,6 +202,45 @@ def gen_dual_infeas(rng):
 INFEAS = {"prim_infeas": gen_prim_infeas, "dual_infeas": gen_dual_infeas}
 
 
+def run_chordal(seed):
+    """Random banded sparse SDP solved with chordal decomposition ON
+    (compact augmentation + PSD completion) vs OFF — objectives must
+    agree and the completed dual must be PSD on the full cone."""
+    import zlib
+
+    rng = np.random.default_rng([zlib.crc32(b"chordal"), seed])
+    from cuclarabel_tpu.cones import psd as psd_ops
+    import jax.numpy as jnp
+
+    d = int(rng.integers(6, 12))
+    bw = int(rng.integers(1, 3))
+    Cm = np.zeros((d, d))
+    for i in range(d):
+        Cm[i, i] = rng.standard_normal() + 3.0
+        for j in range(i + 1, min(d, i + bw + 1)):
+            Cm[i, j] = Cm[j, i] = rng.standard_normal() * 0.4
+    qv = np.asarray(psd_ops.mat_to_svec(jnp.asarray(Cm), d))
+    nsv = d * (d + 1) // 2
+    tr = np.asarray(psd_ops.mat_to_svec(jnp.asarray(np.eye(d)), d))
+    A = np.vstack([tr[None, :], -np.eye(nsv)])
+    b = np.concatenate([[1.0], np.zeros(nsv)])
+    cones = [cc.ZeroConeT(1), cc.PSDTriangleConeT(d)]
+    son = cc.Solver(None, qv, A, b, cones,
+                    chordal_decomposition_enable=True).solve()
+    soff = cc.Solver(None, qv, A, b, cones,
+                     chordal_decomposition_enable=False).solve()
+    label = f"chordal/{seed}"
+    assert son.status in (SolverStatus.SOLVED,
+                          SolverStatus.ALMOST_SOLVED), f"{label}: {son.status}"
+    assert abs(son.obj_val - soff.obj_val) < 1e-5 * max(
+        1.0, abs(soff.obj_val)), \
+        f"{label}: obj {son.obj_val} vs {soff.obj_val}"
+    # completed dual must be PSD on the full cone (psd_completion.jl)
+    Zd = np.asarray(psd_ops.svec_to_mat(jnp.asarray(son.z[1:]), d))
+    lam_min = np.linalg.eigvalsh(Zd)[0]
+    assert lam_min > -1e-7, f"{label}: completed dual eig {lam_min}"
+
+
 def run_one(cls, seed, path):
     import zlib
 
@@ -258,6 +297,16 @@ def main():
         paths = [p] if p != "all" else paths
     fails = 0
     total = 0
+    for seed in range(n_seeds):
+        total += 1
+        try:
+            run_chordal(seed)
+        except Exception:
+            fails += 1
+            print(f"FAIL class=chordal seed={seed}")
+            traceback.print_exc(limit=3)
+            sys.stdout.flush()
+    print(f"done chordal: total={total} fails={fails}", flush=True)
     for cls in list(GENS) + list(INFEAS):
         for path in paths:
             if path == "sparse" and cls == "sdp":
