@@ -68,7 +68,8 @@ def _norm_scaled(w, v):
 
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                   factor_dtype, raw: bool = False, mesh=None,
-                  mesh_axis: str = "row", sparse=None, warm: bool = False):
+                  mesh_axis: str = "row", sparse=None, warm: bool = False,
+                  parts: bool = False):
     """Builds the jitted solve function for this (layout, settings,
     dims) signature.  The returned fn maps a dict of device arrays
     {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
@@ -76,7 +77,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
     composition under vmap/shard_map (parallel/batch.py).  With a mesh,
     the KKT backend partitions over `mesh_axis` via the block-arrow
     Schur backend (kkt/arrow.py) when direct_solve_method is
-    auto/arrow."""
+    auto/arrow.  With parts=True returns `build(dev) -> (state0,
+    loop_cond, loop_body, post)` — the pieces of the IPM loop — so a
+    caller can drive the `lax.while_loop` itself (the batch-compaction
+    path in parallel/batch.py exits on a batch quorum and resumes
+    stragglers from mid-loop state in a narrower program)."""
 
     sym = layout.is_symmetric
     deg1 = layout.degree + 1
@@ -126,7 +131,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
     st = settings  # brevity
 
     # ------------------------------------------------------------------
-    def solve(dev: Dict[str, jnp.ndarray]):
+    def build(dev: Dict[str, jnp.ndarray]):
         q, b = dev["q"], dev["b"]
         d, dinv = dev["d"], dev["dinv"]
         e, einv = dev["e"], dev["einv"]
@@ -482,26 +487,32 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         def where_tree(c, a, b_):
             return jax.tree_util.tree_map(lambda u, w: jnp.where(c, u, w), a, b_)
 
-        v0 = default_start()
-        info0 = {k: jnp.asarray(FMAX) for k in INFO_KEYS}
-        state0 = {
-            "vars": v0,
-            "prev_vars": v0,
-            "info": info0,
-            "prev_info": info0,
-            "iter": jnp.asarray(0, jnp.int32),
-            "status": jnp.asarray(int(S.UNSOLVED), jnp.int32),
-            "scaling": jnp.asarray(init_scaling, jnp.int32),
-            "mu": jnp.asarray(FMAX),
-            "alpha": jnp.asarray(0.0),
-            "sigma": jnp.asarray(1.0),
-            "ir_count": jnp.asarray(0, jnp.int32),
-        }
-        if st.verbose:
-            # per-iteration progress table, written on device and printed
-            # post-hoc on the host (TPU equivalent of the reference's
-            # streaming print_status line, info_print.jl:122-160)
-            state0["hist"] = jnp.zeros((st.max_iter + 1, 11))
+        def make_state0():
+            # lazy: tracing the init-point KKT solves only happens when
+            # the caller actually wants the initial state (the staged
+            # batch path calls build() three times but initializes once)
+            v0 = default_start()
+            info0 = {k: jnp.asarray(FMAX) for k in INFO_KEYS}
+            state0 = {
+                "vars": v0,
+                "prev_vars": v0,
+                "info": info0,
+                "prev_info": info0,
+                "iter": jnp.asarray(0, jnp.int32),
+                "status": jnp.asarray(int(S.UNSOLVED), jnp.int32),
+                "scaling": jnp.asarray(init_scaling, jnp.int32),
+                "mu": jnp.asarray(FMAX),
+                "alpha": jnp.asarray(0.0),
+                "sigma": jnp.asarray(1.0),
+                "ir_count": jnp.asarray(0, jnp.int32),
+            }
+            if st.verbose:
+                # per-iteration progress table, written on device and
+                # printed post-hoc on the host (TPU equivalent of the
+                # reference's streaming print_status line,
+                # info_print.jl:122-160)
+                state0["hist"] = jnp.zeros((st.max_iter + 1, 11))
+            return state0
 
         def loop_cond(s_):
             return s_["status"] == int(S.UNSOLVED)
@@ -760,76 +771,83 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 out["hist"] = hist
             return out
 
-        final = jax.lax.while_loop(loop_cond, loop_body, state0)
-
         # -------------------- post-processing
-        info = final["info"]
-        status = final["status"]
+        def post(final):
+            info = final["info"]
+            status = final["status"]
 
-        # "almost" convergence on errored / limit exits (info.jl:198-214)
-        errored_or_limit = (
-            (status == int(S.NUMERICAL_ERROR))
-            | (status == int(S.INSUFFICIENT_PROGRESS))
-            | (status == int(S.MAX_ITERATIONS))
-            | (status == int(S.MAX_TIME))
-        )
-        almost = check_convergence(
-            info,
-            st.reduced_tol_gap_abs, st.reduced_tol_gap_rel, st.reduced_tol_feas,
-            st.reduced_tol_infeas_abs, st.reduced_tol_infeas_rel,
-            st.reduced_tol_ktratio,
-            int(S.ALMOST_SOLVED),
-            int(S.ALMOST_PRIMAL_INFEASIBLE),
-            int(S.ALMOST_DUAL_INFEASIBLE),
-        )
-        status = jnp.where(
-            errored_or_limit & (almost != int(S.UNSOLVED)), almost, status
-        ).astype(jnp.int32)
+            # "almost" convergence on errored / limit exits
+            # (info.jl:198-214)
+            errored_or_limit = (
+                (status == int(S.NUMERICAL_ERROR))
+                | (status == int(S.INSUFFICIENT_PROGRESS))
+                | (status == int(S.MAX_ITERATIONS))
+                | (status == int(S.MAX_TIME))
+            )
+            almost = check_convergence(
+                info,
+                st.reduced_tol_gap_abs, st.reduced_tol_gap_rel,
+                st.reduced_tol_feas,
+                st.reduced_tol_infeas_abs, st.reduced_tol_infeas_rel,
+                st.reduced_tol_ktratio,
+                int(S.ALMOST_SOLVED),
+                int(S.ALMOST_PRIMAL_INFEASIBLE),
+                int(S.ALMOST_DUAL_INFEASIBLE),
+            )
+            status = jnp.where(
+                errored_or_limit & (almost != int(S.UNSOLVED)), almost, status
+            ).astype(jnp.int32)
 
-        is_infeasible = (
-            (status == int(S.PRIMAL_INFEASIBLE))
-            | (status == int(S.DUAL_INFEASIBLE))
-            | (status == int(S.ALMOST_PRIMAL_INFEASIBLE))
-            | (status == int(S.ALMOST_DUAL_INFEASIBLE))
-        )
+            is_infeasible = (
+                (status == int(S.PRIMAL_INFEASIBLE))
+                | (status == int(S.DUAL_INFEASIBLE))
+                | (status == int(S.ALMOST_PRIMAL_INFEASIBLE))
+                | (status == int(S.ALMOST_DUAL_INFEASIBLE))
+            )
 
-        # unscale (variables.jl:247-275)
-        v = final["vars"]
-        scaleinv = jnp.where(is_infeasible, 1.0 / v["kappa"], 1.0 / v["tau"])
-        x_out = v["x"] * d * scaleinv
-        z_out = v["z"] * e * (scaleinv * cinv)
-        s_out = v["s"] * einv * scaleinv
+            # unscale (variables.jl:247-275)
+            v = final["vars"]
+            scaleinv = jnp.where(is_infeasible, 1.0 / v["kappa"], 1.0 / v["tau"])
+            x_out = v["x"] * d * scaleinv
+            z_out = v["z"] * e * (scaleinv * cinv)
+            s_out = v["s"] * einv * scaleinv
 
-        nan = jnp.asarray(float("nan"))
-        obj_val = jnp.where(is_infeasible, nan, info["cost_primal"])
-        obj_val_dual = jnp.where(is_infeasible, nan, info["cost_dual"])
+            nan = jnp.asarray(float("nan"))
+            obj_val = jnp.where(is_infeasible, nan, info["cost_primal"])
+            obj_val_dual = jnp.where(is_infeasible, nan, info["cost_dual"])
 
-        result_extra = {"hist": final["hist"]} if st.verbose else {}
-        return {
-            **result_extra,
-            "x": x_out,
-            "s": s_out,
-            "z": z_out,
-            "tau": v["tau"] * scaleinv,
-            "kappa": v["kappa"] * scaleinv,
-            "status": status,
-            "obj_val": obj_val,
-            "obj_val_dual": obj_val_dual,
-            "iterations": final["iter"],
-            "r_prim": info["res_primal"],
-            "r_dual": info["res_dual"],
-            # partial (infeasibility-certificate) residuals, part of the
-            # reference's DefaultInfo surface (types.jl:209-251)
-            "res_primal_inf": info["res_primal_inf"],
-            "res_dual_inf": info["res_dual_inf"],
-            "gap_abs": info["gap_abs"],
-            "gap_rel": info["gap_rel"],
-            "ktratio": info["ktratio"],
-            "mu": final["mu"],
-            "step_length": final["alpha"],
-            "sigma": final["sigma"],
-            "ir_count": final["ir_count"],
-        }
+            result_extra = {"hist": final["hist"]} if st.verbose else {}
+            return {
+                **result_extra,
+                "x": x_out,
+                "s": s_out,
+                "z": z_out,
+                "tau": v["tau"] * scaleinv,
+                "kappa": v["kappa"] * scaleinv,
+                "status": status,
+                "obj_val": obj_val,
+                "obj_val_dual": obj_val_dual,
+                "iterations": final["iter"],
+                "r_prim": info["res_primal"],
+                "r_dual": info["res_dual"],
+                # partial (infeasibility-certificate) residuals, part of
+                # the reference's DefaultInfo surface (types.jl:209-251)
+                "res_primal_inf": info["res_primal_inf"],
+                "res_dual_inf": info["res_dual_inf"],
+                "gap_abs": info["gap_abs"],
+                "gap_rel": info["gap_rel"],
+                "ktratio": info["ktratio"],
+                "mu": final["mu"],
+                "step_length": final["alpha"],
+                "sigma": final["sigma"],
+                "ir_count": final["ir_count"],
+            }
+
+        return make_state0, loop_cond, loop_body, post
+
+    def solve(dev: Dict[str, jnp.ndarray]):
+        make_state0, loop_cond, loop_body, post = build(dev)
+        return post(jax.lax.while_loop(loop_cond, loop_body, make_state0()))
 
     def solve_precise(dev: Dict[str, jnp.ndarray]):
         # TPU MXU f32 matmuls default to reduced (bf16-pass) internal
@@ -838,4 +856,6 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         with jax.default_matmul_precision("highest"):
             return solve(dev)
 
+    if parts:
+        return build
     return solve_precise if raw else jax.jit(solve_precise)

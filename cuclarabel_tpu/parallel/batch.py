@@ -185,6 +185,99 @@ def make_batch_solve_fn(
     )
 
 
+@lru_cache(maxsize=64)
+def make_batch_stage_fns(
+    layout,
+    settings: Settings,
+    n: int,
+    m: int,
+    has_P: bool,
+    factor_dtype_name: str,
+    warm: bool = False,
+):
+    """Batch-compaction path (settings.batch_compaction in (0,1)): the
+    batched IPM as TWO dispatches instead of one.
+
+    The plain batched program (`make_batch_solve_fn`) is a vmapped
+    `while_loop`, so every problem runs until the LAST one converges —
+    at large B the batch pays max-iterations while the mean is lower
+    (measured on the portfolio-SOCP bench: max 12 vs mean 8.6 at
+    B=4096).  Here stage 1 drives the loop manually over the batched
+    state and exits once a quorum of problems is finished; the host
+    gathers the straggler indices, and stage 2 resumes ONLY those
+    problems — from their exact mid-loop state — in a program a
+    fraction of the width.  No reference counterpart (the reference
+    solves one problem per process, SURVEY.md §2.9).
+
+    Stage 2 re-runs device equilibration on the gathered data instead
+    of shipping the equilibrated matrices between stages: Ruiz is a
+    deterministic function of the data, so the scaled space matches to
+    roundoff and the mid-loop iterates remain valid there.
+    """
+    factor_dtype = jnp.float32 if factor_dtype_name == "float32" else jnp.float64
+    build = make_solve_fn(layout, settings, n, m, has_P, factor_dtype,
+                          parts=True, warm=warm)
+    import math
+
+    from ..statuscodes import SolverStatus as _S
+
+    has_time_limit = math.isfinite(settings.time_limit)
+    quorum = float(settings.batch_compaction)
+    unsolved_code = int(_S.UNSOLVED)
+
+    def dev_of(P, A, q, b, t_start, *ws):
+        b = jnp.minimum(b, get_infinity())
+        dev = device_equilibrate(P, A, q, b, layout, settings)
+        if has_time_limit:
+            dev["t_start"] = t_start
+        if warm:
+            from ..warmstart import scale_warm_start
+
+            wx, wsv, wz = ws
+            dev["ws_x"], dev["ws_s"], dev["ws_z"] = scale_warm_start(
+                wx, wsv, wz, dev["d"], dev["e"], dev["cscale"]
+            )
+        return dev
+
+    extra = (0, 0, 0) if warm else ()
+    vdev = jax.vmap(dev_of, in_axes=(0, 0, 0, 0, None) + extra)
+
+    def stage1(P, A, q, b, t_start, *ws):
+        with jax.default_matmul_precision("highest"):
+            devs = vdev(P, A, q, b, t_start, *ws)
+            state0 = jax.vmap(lambda dv: build(dv)[0]())(devs)
+            vbody = jax.vmap(lambda dv, s: build(dv)[2](s))
+
+            def cond(bs):
+                rem = jnp.mean(
+                    (bs["status"] == unsolved_code).astype(jnp.float64)
+                )
+                return rem > (1.0 - quorum)
+
+            final = jax.lax.while_loop(
+                cond, lambda bs: vbody(devs, bs), state0
+            )
+            outs = jax.vmap(lambda dv, s: build(dv)[3](s))(devs, final)
+            return outs, final
+
+    def stage2(P, A, q, b, t_start, idx, state, *ws):
+        with jax.default_matmul_precision("highest"):
+            def take(a):
+                return jnp.take(a, idx, axis=0)
+
+            devs = vdev(take(P), take(A), take(q), take(b), t_start,
+                        *tuple(take(w) for w in ws))
+            st2 = jax.tree_util.tree_map(take, state)
+
+            def run_one(dv, s):
+                _, loop_cond, loop_body, post = build(dv)
+                return post(jax.lax.while_loop(loop_cond, loop_body, s))
+
+            return jax.vmap(run_one)(devs, st2)
+
+    return jax.jit(stage1), jax.jit(stage2)
+
+
 class BatchSolver:
     """Solve a batch of structurally identical conic programs.
 
@@ -246,15 +339,29 @@ class BatchSolver:
         if n_devices > 1 and B % n_devices != 0:
             raise ValueError("batch size must divide evenly across devices")
         self._mesh_shape = mesh_shape
-        self._fn = make_batch_solve_fn(
-            self.layout,
-            settings,
-            n,
-            m,
-            self._has_P,
-            _resolve_factor_dtype(settings, self.layout),
-            mesh_shape,
-        )
+        self._staged = settings.batch_compaction > 0.0
+        if self._staged and mesh_shape is not None:
+            raise ValueError(
+                "batch_compaction resumes stragglers in a narrower "
+                "single-device program and cannot combine with "
+                "n_devices > 1; shard the batch OR compact it"
+            )
+        if self._staged:
+            self._stage_fns = make_batch_stage_fns(
+                self.layout, settings, n, m, self._has_P,
+                _resolve_factor_dtype(settings, self.layout),
+            )
+            self._fn = None
+        else:
+            self._fn = make_batch_solve_fn(
+                self.layout,
+                settings,
+                n,
+                m,
+                self._has_P,
+                _resolve_factor_dtype(settings, self.layout),
+                mesh_shape,
+            )
         self._args = (
             jnp.asarray(Pd),
             jnp.asarray(Ad),
@@ -291,6 +398,46 @@ class BatchSolver:
             bd = jnp.asarray(b)
         self._args = (Pd, Ad, qd, bd)
 
+    def _solve_staged(self, ws_args):
+        """Two-dispatch compaction solve (see make_batch_stage_fns):
+        stage 1 to quorum, host gather of straggler indices, stage 2
+        resumes them from mid-loop state in a power-of-two-wide
+        program.  Records self.last_compaction for observability."""
+        import time as _time
+
+        warm = bool(ws_args)
+        if warm:
+            s1, s2 = make_batch_stage_fns(
+                self.layout, self.settings, self.n, self.m, self._has_P,
+                _resolve_factor_dtype(self.settings, self.layout),
+                warm=True,
+            )
+        else:
+            s1, s2 = self._stage_fns
+        t = jnp.asarray(_time.time())
+        outs, state = s1(*self._args, t, *ws_args)
+        # device_get may hand back read-only buffer views; stage 2
+        # results are scattered into these in place
+        out = {k: np.array(v) for k, v in jax.device_get(outs).items()}
+        rem = np.flatnonzero(out["status"] == int(SolverStatus.UNSOLVED))
+        self.last_compaction = {
+            "remainder": int(rem.size),
+            "stage1_iterations": int(np.max(out["iterations"])),
+        }
+        if rem.size:
+            # pad the straggler list to a power of two (bounded set of
+            # stage-2 program shapes -> warm jit cache on re-solves);
+            # padding repeats real indices, duplicates are discarded
+            B2 = min(self.B, max(8, 1 << int(rem.size - 1).bit_length()))
+            idx = np.resize(rem, B2).astype(np.int32)
+            out2 = jax.device_get(
+                s2(*self._args, t, jnp.asarray(idx), state, *ws_args)
+            )
+            k = rem.size
+            for key in out:
+                out[key][rem] = out2[key][:k]
+        return out
+
     def solve(self, warm_start=None):
         """warm_start=(X, S, Z) with shapes (B, n), (B, m), (B, m) in
         the original problem space (e.g. stacked fields of the previous
@@ -298,21 +445,26 @@ class BatchSolver:
         Solver.solve(warm_start=...); symmetric-cone layouts only."""
         import time as _time
 
+        ws_args = ()
         if warm_start is not None:
             from ..warmstart import validate_warm_start
 
             wx, ws, wz = validate_warm_start(
                 self.layout, warm_start, self.n, self.m, batch=self.B
             )
+            ws_args = (jnp.asarray(wx), jnp.asarray(ws), jnp.asarray(wz))
+
+        if self._staged:
+            out = self._solve_staged(ws_args)
+        elif warm_start is not None:
             fn = make_batch_solve_fn(
                 self.layout, self.settings, self.n, self.m, self._has_P,
                 _resolve_factor_dtype(self.settings, self.layout),
                 self._mesh_shape, warm=True,
             )
-            out = jax.device_get(fn(
-                *self._args, jnp.asarray(_time.time()),
-                jnp.asarray(wx), jnp.asarray(ws), jnp.asarray(wz),
-            ))
+            out = jax.device_get(
+                fn(*self._args, jnp.asarray(_time.time()), *ws_args)
+            )
         else:
             out = jax.device_get(
                 self._fn(*self._args, jnp.asarray(_time.time()))

@@ -65,6 +65,16 @@ class Settings:
     corrector_beta_min: float = 0.1
     corrector_beta_max: float = 10.0
 
+    # Batch compaction quorum (BatchSolver only; no reference
+    # counterpart — the reference solves one problem at a time).  The
+    # fused batched loop otherwise runs every problem until the LAST
+    # one converges, so the batch pays max-iterations while the mean is
+    # lower.  With quorum f in (0, 1), the batch program exits once a
+    # fraction >= f of problems is finished; the stragglers are
+    # gathered into a narrower program (next power of two wide) and
+    # resumed from their exact mid-loop state.  0 disables (default).
+    batch_compaction: float = 0.0
+
     # linear solver selection (mirrors the backend registry of
     # src/kktsolvers/direct-ldl/directldl_defaults.jl):
     # "dense" = dense factorization/inversion on device (TPU MXU path);
@@ -153,6 +163,8 @@ class Settings:
             raise ValueError("kkt_solve_method must be auto|lu|inverse|pallas")
         if self.centrality_correctors < 0:
             raise ValueError("centrality_correctors must be nonnegative")
+        if not (0.0 <= self.batch_compaction < 1.0):
+            raise ValueError("batch_compaction must be in [0, 1)")
         if not (0.0 < self.corrector_beta_min < 1.0
                 < self.corrector_beta_max):
             raise ValueError(
