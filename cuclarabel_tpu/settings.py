@@ -123,6 +123,18 @@ class Settings:
     chordal_decomposition_compact: bool = True
     chordal_decomposition_complete_dual: bool = True
 
+    # reference-compatibility fields accepted so that settings dicts /
+    # JSON files written by the reference load unchanged:
+    # direct_kkt_solver (src/settings.jl:113) must stay True — the
+    # reference itself supports no indirect solver either.
+    # pardiso_iparm/pardiso_verbose (src/settings.jl:145-146) configure
+    # the Pardiso backend, which has no TPU counterpart; a non-default
+    # value warns rather than silently disappearing.  Stored as a tuple
+    # (not MVector/list) to keep the dataclass hashable for jit keying.
+    direct_kkt_solver: bool = True
+    pardiso_iparm: Optional[tuple] = None
+    pardiso_verbose: bool = False
+
     def replace(self, **kwargs) -> "Settings":
         return dataclasses.replace(self, **kwargs)
 
@@ -134,11 +146,26 @@ class Settings:
         unknown = set(d) - valid
         if unknown:
             raise ValueError(f"unknown settings: {sorted(unknown)}")
+        if isinstance(d.get("pardiso_iparm"), list):
+            d = dict(d, pardiso_iparm=tuple(d["pardiso_iparm"]))
         return cls(**d)
 
     def validate(self) -> None:
         if self.max_iter < 0:
             raise ValueError("max_iter must be nonnegative")
+        if not self.direct_kkt_solver:
+            # same restriction as the reference (src/settings.jl:113:
+            # "indirect not yet supported")
+            raise ValueError("direct_kkt_solver=False is not supported")
+        if self.pardiso_iparm is not None or self.pardiso_verbose:
+            import warnings
+
+            warnings.warn(
+                "pardiso_iparm/pardiso_verbose are accepted for reference "
+                "compatibility but have no effect: there is no Pardiso "
+                "backend on TPU",
+                stacklevel=2,
+            )
         if self.max_threads != 0:
             # reference forwards max_threads to multithreaded LDL
             # backends (settings.jl:108-110, ext/directldl_pardiso.jl);

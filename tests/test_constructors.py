@@ -50,6 +50,52 @@ def test_bad_settings():
         cc.Settings.from_dict({"not_a_setting": 1})
 
 
+def test_reference_settings_names_all_accepted():
+    """Every field of the reference Settings{T} kwdef struct
+    (src/settings.jl:70-148) is an accepted key here, so settings
+    dicts/JSON written against the reference load unchanged.  The
+    Pardiso fields and direct_kkt_solver are compat-only (see
+    settings.py); nothing is silently dropped by from_dict."""
+    ref_names = [
+        "max_iter", "time_limit", "verbose", "max_step_fraction",
+        "tol_gap_abs", "tol_gap_rel", "tol_feas",
+        "tol_infeas_abs", "tol_infeas_rel", "tol_ktratio",
+        "reduced_tol_gap_abs", "reduced_tol_gap_rel", "reduced_tol_feas",
+        "reduced_tol_infeas_abs", "reduced_tol_infeas_rel",
+        "reduced_tol_ktratio",
+        "equilibrate_enable", "equilibrate_max_iter",
+        "equilibrate_min_scaling", "equilibrate_max_scaling",
+        "linesearch_backtrack_step", "min_switch_step_length",
+        "min_terminate_step_length",
+        "direct_kkt_solver", "direct_solve_method", "max_threads",
+        "static_regularization_enable", "static_regularization_constant",
+        "static_regularization_proportional",
+        "dynamic_regularization_enable", "dynamic_regularization_eps",
+        "dynamic_regularization_delta",
+        "iterative_refinement_enable", "iterative_refinement_reltol",
+        "iterative_refinement_abstol", "iterative_refinement_max_iter",
+        "iterative_refinement_stop_ratio",
+        "presolve_enable", "input_sparse_dropzeros",
+        "chordal_decomposition_enable",
+        "chordal_decomposition_merge_method",
+        "chordal_decomposition_compact",
+        "chordal_decomposition_complete_dual",
+        "pardiso_iparm", "pardiso_verbose",
+    ]
+    defaults = cc.Settings()
+    d = {n: getattr(defaults, n) for n in ref_names}  # KeyError if missing
+    s = cc.Settings.from_dict(d)
+    assert s == defaults
+    # pardiso fields accepted (list coerced to hashable tuple) but warn
+    s2 = cc.Settings.from_dict({"pardiso_iparm": [0] * 64})
+    with pytest.warns(UserWarning, match="Pardiso"):
+        s2.validate()
+    hash(s2)
+    # the reference itself rejects indirect solvers (settings.jl:113)
+    with pytest.raises(ValueError):
+        cc.Settings(direct_kkt_solver=False).validate()
+
+
 def test_scipy_sparse_inputs():
     import scipy.sparse as sp
 
