@@ -157,7 +157,12 @@ class Settings:
             # same restriction as the reference (src/settings.jl:113:
             # "indirect not yet supported")
             raise ValueError("direct_kkt_solver=False is not supported")
-        if self.pardiso_iparm is not None or self.pardiso_verbose:
+        # typemin(Int32) entries mean "ignored" in the reference
+        # (settings.jl:145) — only a real request deserves a warning
+        iparm_set = self.pardiso_iparm is not None and any(
+            v != -2147483648 for v in self.pardiso_iparm
+        )
+        if iparm_set or self.pardiso_verbose:
             import warnings
 
             warnings.warn(

@@ -80,14 +80,16 @@ def test_reference_fixture_loads_and_solves():
 
 
 def test_reference_fixture_settings_parsed():
-    """Julia-only settings fields are ignored; shared fields load; the
-    sanitized floatmax comes back as inf (json.jl:92-110 semantics)."""
+    """Shared fields load; the sanitized floatmax comes back as inf
+    (json.jl:92-110 semantics); reference-only Pardiso fields are
+    retained as compat fields (hashable tuple) rather than dropped."""
     path = os.path.join(FIXTURES, "ref_qp.json")
     _, _, _, _, _, settings = json_io.load_problem(path)
     assert settings.max_iter == 200
     assert settings.iterative_refinement_stop_ratio == 5.0
     assert settings.time_limit == float("inf")
-    assert not hasattr(settings, "pardiso_iparm")
+    assert isinstance(settings.pardiso_iparm, (tuple, type(None)))
+    hash(settings)
 
 
 def test_settings_inf_sanitize_round_trip(tmp_path):
