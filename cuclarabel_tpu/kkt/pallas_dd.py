@@ -671,25 +671,65 @@ def _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
     return (xh[..., :b0], xl[..., :b0], rh[..., :b0], rl[..., :b0])
 
 
+# ---------------------------------------------------------------------
+# trace deduplication
+#
+# Tracing one unrolled dd kernel costs seconds of pure-Python host time
+# (the factor body is ~N^2/2 column steps of multi-primitive dd ops),
+# and one IPM program instantiates the same impl at identical shapes
+# many times over — custom_vmap reference + batched rules, while_loop
+# batching fixed-point retraces: measured 31 instantiations / ~230 s of
+# tracing for the B=256 bench program.  Routing each impl through a
+# memoized jax.jit wrapper lets pjit's trace cache collapse repeated
+# same-(function, avals) calls to a single kernel trace.
+#
+# The wrapper's __name__ encodes the full operand signature: a PLAIN
+# nested jax.jit here is known-broken — two traces of one same-named
+# wrapper at different lane counts in one program get deduplicated by
+# callee name during MLIR lowering and fail verification.  Unique
+# per-signature names keep every specialization a distinct callee.
+# ---------------------------------------------------------------------
+
+_JIT_IMPL_CACHE = {}
+
+
+def _cached_impl(impl, statics, *arrays):
+    sig = tuple((tuple(a.shape), str(a.dtype)) for a in arrays)
+    key = (impl.__name__, statics, sig)
+    fn = _JIT_IMPL_CACHE.get(key)
+    if fn is None:
+        def f(*xs):
+            return impl(*xs, *statics)
+
+        shapes = "_".join("x".join(map(str, s)) for s, _ in sig)
+        stat = "_".join(str(int(v)) for v in statics)
+        f.__name__ = f"{impl.__name__.lstrip('_')}_{shapes}_s{stat}"
+        fn = jax.jit(f)
+        _JIT_IMPL_CACHE[key] = fn
+    return fn(*arrays)
+
+
 def dd_ldl_factor(Kh, Kl, reg, interpret=False):
     """Batched dd LDL^T.  Kh/Kl: (N, N, B) f32 pair of the scaled,
     permuted, UNregularized quasidefinite K; reg: (N, B) signed
     regularization diagonal added internally.  Returns (Lh, Ll, Dinvh,
     Dinvl) in the same lane-major layout (strict upper L is junk)."""
     with jax.enable_x64(False):
-        return _factor_impl(Kh, Kl, reg, interpret)
+        return _cached_impl(_factor_impl, (interpret,), Kh, Kl, reg)
 
 
 def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
     """Solve with dd factors; b (N, B) dd pair -> x (N, B) dd pair."""
     with jax.enable_x64(False):
-        return _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret)
+        return _cached_impl(_solve_impl, (interpret,),
+                            Lh, Ll, Dh, Dl, bh, bl)
 
 
 def dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=False):
     """r = b - K x (dd, K unregularized) -> (N, B) dd pair."""
     with jax.enable_x64(False):
-        return _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret)
+        return _cached_impl(_residual_impl, (interpret,),
+                            Kh, Kl, xh, xl, bh, bl)
 
 
 def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
@@ -701,15 +741,16 @@ def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
     rounds of dd_residual/dd_ldl_solve/add with monotone acceptance,
     but L and K stream from HBM once instead of once per pass."""
     with jax.enable_x64(False):
-        return _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass,
-                            interpret)
+        return _cached_impl(_refine_impl, (npass, interpret),
+                            Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
 
 
 def dd_ldl_solve_r(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
     """Multi-RHS solve: b (N, r, B) dd pair -> x (N, r, B) dd pair.
     All r systems ride one substitution chain per lane tile."""
     with jax.enable_x64(False):
-        return _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret)
+        return _cached_impl(_solve_impl_r, (interpret,),
+                            Lh, Ll, Dh, Dl, bh, bl)
 
 
 def dd_ldl_solve_refine_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
@@ -720,5 +761,5 @@ def dd_ldl_solve_refine_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
     single launch (kktsystem.jl:135-215's two-solve structure; both
     right-hand sides are available as soon as the factor is)."""
     with jax.enable_x64(False):
-        return _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass,
-                              interpret)
+        return _cached_impl(_refine_impl_r, (npass, interpret),
+                            Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
