@@ -130,6 +130,13 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
     st = settings  # brevity
 
+    # multi-RHS ("pair") solves are opt-in: the round-2 interleaved A/B
+    # measured no-pair ~7% faster end-to-end on the v5e (see the
+    # kkt_pair_solve docstring in settings.py)
+    kkt_solve_pair = (
+        getattr(kkt_solve, "pair", None) if st.kkt_pair_solve else None
+    )
+
     # ------------------------------------------------------------------
     def build(dev: Dict[str, jnp.ndarray]):
         q, b = dev["q"], dev["b"]
@@ -461,7 +468,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                     # LP init (kktsystem.jl:101-119); the two solves
                     # share the factor — one multi-RHS launch if the
                     # backend offers it
-                    pair0 = getattr(kkt_solve, "pair", None)
+                    pair0 = kkt_solve_pair
                     if pair0 is not None:
                         x0, ms, _, z0, _, _ = pair0(
                             fac, jnp.zeros(n), b, -q, jnp.zeros(m)
@@ -505,6 +512,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "alpha": jnp.asarray(0.0),
                 "sigma": jnp.asarray(1.0),
                 "ir_count": jnp.asarray(0, jnp.int32),
+                "ir_last": jnp.asarray(0, jnp.int32),
             }
             if st.verbose:
                 # per-iteration progress table, written on device and
@@ -560,7 +568,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                         mu,
                         s_["alpha"],
                         s_["iter"].astype(jnp.float64),
-                        s_["ir_count"].astype(jnp.float64),
+                        s_["ir_last"].astype(jnp.float64),
                         scaling.astype(jnp.float64),
                     ]
                 )
@@ -607,7 +615,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "tau": r["rtau"],
                 "kappa": v["tau"] * v["kappa"],
             }
-            pair_solve = getattr(kkt_solve, "pair", None)
+            pair_solve = kkt_solve_pair
             if pair_solve is not None:
                 # the constant-RHS (-q, b) and affine systems share the
                 # factor and both right-hand sides exist now — solve
@@ -765,7 +773,14 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "mu": mu,
                 "alpha": jnp.where(commit, alpha, 0.0),
                 "sigma": sigma,
-                "ir_count": (nir_c + nir_a + nir_b).astype(jnp.int32),
+                # ir_count accumulates every refinement pass of the
+                # whole solve (the reference counts per-solve; summing
+                # makes info.ir_count the total refinement work);
+                # ir_last keeps this iteration's count for the verbose
+                # table
+                "ir_count": s_["ir_count"]
+                + (nir_c + nir_a + nir_b).astype(jnp.int32),
+                "ir_last": (nir_c + nir_a + nir_b).astype(jnp.int32),
             }
             if st.verbose:
                 out["hist"] = hist

@@ -694,14 +694,25 @@ _JIT_IMPL_CACHE = {}
 
 
 def _cached_impl(impl, statics, *arrays):
-    sig = tuple((tuple(a.shape), str(a.dtype)) for a in arrays)
+    # weak_type joins shape/dtype in the key (and the callee name):
+    # same-shape calls whose abstract values differ in weak_type would
+    # otherwise share one cached wrapper yet lower to different bodies,
+    # resurfacing the MLIR callee-name-dedup verification failure this
+    # cache exists to avoid.  Operands here are always committed device
+    # arrays (no shardings in play inside the kernels' wrappers).
+    sig = tuple(
+        (tuple(a.shape), str(a.dtype), bool(getattr(a, "weak_type", False)))
+        for a in arrays
+    )
     key = (impl.__name__, statics, sig)
     fn = _JIT_IMPL_CACHE.get(key)
     if fn is None:
         def f(*xs):
             return impl(*xs, *statics)
 
-        shapes = "_".join("x".join(map(str, s)) for s, _ in sig)
+        shapes = "_".join(
+            "x".join(map(str, s)) + ("w" if wk else "") for s, _, wk in sig
+        )
         stat = "_".join(str(int(v)) for v in statics)
         f.__name__ = f"{impl.__name__.lstrip('_')}_{shapes}_s{stat}"
         fn = jax.jit(f)

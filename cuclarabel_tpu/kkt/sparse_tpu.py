@@ -428,5 +428,18 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
                 ok, nir)
 
     solve.pair = solve_pair
+    # true structural factor size for the info surface (the reference
+    # reports nnzL via linear_solver_info, directldl_defaults.jl:66-73)
+    factorize.linear_solver_info = {
+        "method": "multifrontal",
+        "kkt_dim": int(Next),
+        "nnzL": int(sum(
+            w * (w + 1) // 2 + w * len(sym.sn_rows[s])
+            for s in range(sym.ns)
+            for w in (sym.front_width(s),)
+        )),
+        "supernodes": int(sym.ns),
+        "levels": len(sym.levels),
+    }
     sp_prob._kkt_memo[memo_key] = (factorize, solve, host_bufs)
     return factorize, solve, host_bufs

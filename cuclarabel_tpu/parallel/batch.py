@@ -339,6 +339,17 @@ class BatchSolver:
         if n_devices > 1 and B % n_devices != 0:
             raise ValueError("batch size must divide evenly across devices")
         self._mesh_shape = mesh_shape
+        # resolve the -1.0 auto sentinel against the concrete batch
+        # width (measured crossover: compaction wins at large B only);
+        # auto never turns it on for a sharded batch, where staged
+        # resume is unsupported
+        if settings.batch_compaction < 0.0:
+            q_res = (
+                0.0 if mesh_shape is not None
+                else settings.resolved_batch_compaction(B)
+            )
+            settings = settings.replace(batch_compaction=q_res)
+            self.settings = settings
         self._staged = settings.batch_compaction > 0.0
         if self._staged and mesh_shape is not None:
             raise ValueError(

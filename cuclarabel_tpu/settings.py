@@ -58,9 +58,13 @@ class Settings:
     # KKT RHS (back-solve only, the factor is reused) with the trial
     # point's outlier complementarity products pushed back into
     # [beta_min, beta_max]*sigma*mu, and is accepted only if the step
-    # length improves.  Worth enabling on TPU where extra back-solves
-    # are cheap relative to a saved IPM iteration; symmetric-cone
-    # problems only (ignored when exp/pow/genpow cones are present).
+    # length improves.  Symmetric-cone problems only (ignored when
+    # exp/pow/genpow cones are present).  Measured on the v5e
+    # portfolio-SOCP bench (interleaved warm A/B, round 2): K=1 cuts
+    # batch-max iterations 12->10 but the extra back-solves roughly
+    # cancel the saving — ~+2% at B=256 and ~-5% at B=4096; K=2 loses
+    # at both sizes.  Default therefore 0; enable only for problem
+    # families whose iteration counts are corrector-limited.
     centrality_correctors: int = 0
     corrector_beta_min: float = 0.1
     corrector_beta_max: float = 10.0
@@ -72,8 +76,24 @@ class Settings:
     # lower.  With quorum f in (0, 1), the batch program exits once a
     # fraction >= f of problems is finished; the stragglers are
     # gathered into a narrower program (next power of two wide) and
-    # resumed from their exact mid-loop state.  0 disables (default).
-    batch_compaction: float = 0.0
+    # resumed from their exact mid-loop state.  0.0 disables.
+    # -1.0 (default) = auto: on (quorum 0.9) when the batch is at least
+    # `batch_compaction_min_batch` problems, off below — the measured
+    # crossover on the v5e portfolio bench (round-2 interleaved A/B:
+    # +23% at B=4096, -13% at B=256; the two extra dispatches and the
+    # host gather only amortize at large B).
+    batch_compaction: float = -1.0
+    batch_compaction_min_batch: int = 1024
+
+    # Multi-RHS ("pair") KKT solves: fuse the constant-RHS (-q, b) and
+    # affine systems — which share the factorization — into one kernel
+    # launch.  Measured end-to-end on the v5e portfolio bench
+    # (round-2 interleaved warm A/B, /tmp/ab2b.log → committed as
+    # benchmarks/ab_results/ab_pair.json): no-pair wins ~7% (2250/s vs
+    # 2100/s at B=256) — the 2-RHS substitution chain is NOT free at
+    # batch widths that already fill the VPU lanes, and the fused
+    # launch serializes work XLA otherwise overlaps.  Default off.
+    kkt_pair_solve: bool = False
 
     # linear solver selection (mirrors the backend registry of
     # src/kktsolvers/direct-ldl/directldl_defaults.jl):
@@ -135,8 +155,25 @@ class Settings:
     pardiso_iparm: Optional[tuple] = None
     pardiso_verbose: bool = False
 
+    def __post_init__(self):
+        # every construction path (direct ctor, replace(), from_dict)
+        # must yield a hashable instance — hash(settings) keys the jit
+        # cache (module docstring); a list-valued pardiso_iparm would
+        # raise TypeError at solve time instead of here
+        if isinstance(self.pardiso_iparm, list):
+            object.__setattr__(self, "pardiso_iparm", tuple(self.pardiso_iparm))
+
     def replace(self, **kwargs) -> "Settings":
         return dataclasses.replace(self, **kwargs)
+
+    def resolved_batch_compaction(self, batch_size: int) -> float:
+        """Resolve the batch_compaction auto sentinel for a concrete
+        batch width (see the field docstring for the measured
+        crossover)."""
+        q = self.batch_compaction
+        if q < 0.0:
+            return 0.9 if batch_size >= self.batch_compaction_min_batch else 0.0
+        return q
 
     @classmethod
     def from_dict(cls, d: dict) -> "Settings":
@@ -195,8 +232,13 @@ class Settings:
             raise ValueError("kkt_solve_method must be auto|lu|inverse|pallas")
         if self.centrality_correctors < 0:
             raise ValueError("centrality_correctors must be nonnegative")
-        if not (0.0 <= self.batch_compaction < 1.0):
-            raise ValueError("batch_compaction must be in [0, 1)")
+        if self.batch_compaction != -1.0 and not (
+            0.0 <= self.batch_compaction < 1.0
+        ):
+            raise ValueError(
+                "batch_compaction must be in [0, 1) or -1.0 (auto)")
+        if self.batch_compaction_min_batch < 1:
+            raise ValueError("batch_compaction_min_batch must be positive")
         if not (0.0 < self.corrector_beta_min < 1.0
                 < self.corrector_beta_max):
             raise ValueError(

@@ -319,14 +319,19 @@ class Solver:
         from .kkt.dense import resolve_kkt_method
 
         N = self.n + self.m
+        method = resolve_kkt_method(self.settings, N)
+        # nnzL reflects what the backend actually materializes: the
+        # Pallas dd LDL^T stores a dense triangle; "inverse" holds the
+        # full explicit K^{-1}; "lu" holds packed L and U (full square)
+        nnzL = N * (N + 1) // 2 if method == "pallas" else N * N
         self.info["linear_solver"] = {
-            "method": resolve_kkt_method(self.settings, N),
+            "method": method,
             "factor_precision": _resolve_factor_dtype(
                 self.settings, self.layout
             ),
             "kkt_dim": N,
             "nnzA": int(np.count_nonzero(self._As)),
-            "nnzL": N * (N + 1) // 2,  # dense factor
+            "nnzL": nnzL,
         }
         self.solution = DefaultSolution(
             x=x,

@@ -379,6 +379,18 @@ class SparseSolver:
         solve_time = time.perf_counter() - t0
 
         self.info = {k: out[k] for k in out}
+        self.info["solve_time"] = solve_time
+        # linear-solver block (reference DefaultInfo linear_solver,
+        # types.jl:209-251): the multifrontal backend attaches its true
+        # symbolic factor stats to the factorize fn (sparse_tpu.py)
+        from .kkt.sparse_tpu import make_sparse_tpu_kkt as _mk2
+
+        _fac, _, _ = _mk2(
+            self.n, self.m, self.settings, self.layout, self._sp
+        )
+        ls = dict(getattr(_fac, "linear_solver_info", {}))
+        ls["nnzA"] = int(self._sp.A_rows.shape[0])
+        self.info["linear_solver"] = ls
         x_out = np.asarray(out["x"])
         s_out = np.asarray(out["s"])
         z_out = np.asarray(out["z"])
