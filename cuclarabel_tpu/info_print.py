@@ -75,23 +75,31 @@ _HEADER = (
 )
 
 
+def format_iteration_row(i: int, row) -> str:
+    """One status line; row layout as in print_iteration_history."""
+    step = "------" if i == 0 else f"{row[7]:.2e}"
+    ir = int(row[9]) if len(row) > 9 else 0
+    scal = "PD" if len(row) > 10 and row[10] == 0 else "D "
+    return (
+        f"{i:3d}  {row[0]:+.4e}  {row[1]:+.4e}  {row[2]:.2e}  "
+        f"{row[3]:.2e}  {row[4]:.2e}  {row[5]:.2e}  {row[6]:.2e}  {step}"
+        f"  {ir:3d}  {scal}"
+    )
+
+
+def print_iteration_header() -> None:
+    print(_HEADER)
+    print("-" * len(_HEADER))
+
+
 def print_iteration_history(hist: np.ndarray, niter: int) -> None:
     """hist rows: [pcost, dcost, gap_rel, pres, dres, ktratio, mu,
     step, iter, ir_count, scaling].  The ir/scal columns mirror the
     reference status line's refinement-count and scaling-strategy
     fields (info_print.jl:122-160)."""
-    print(_HEADER)
-    print("-" * len(_HEADER))
+    print_iteration_header()
     for i in range(min(niter + 1, hist.shape[0])):
-        row = hist[i]
-        step = "------" if i == 0 else f"{row[7]:.2e}"
-        ir = int(row[9]) if row.shape[0] > 9 else 0
-        scal = "PD" if row.shape[0] > 10 and row[10] == 0 else "D "
-        print(
-            f"{i:3d}  {row[0]:+.4e}  {row[1]:+.4e}  {row[2]:.2e}  "
-            f"{row[3]:.2e}  {row[4]:.2e}  {row[5]:.2e}  {row[6]:.2e}  {step}"
-            f"  {ir:3d}  {scal}"
-        )
+        print(format_iteration_row(i, hist[i]))
 
 
 def print_footer(solution) -> None:

@@ -69,7 +69,7 @@ def _norm_scaled(w, v):
 def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                   factor_dtype, raw: bool = False, mesh=None,
                   mesh_axis: str = "row", sparse=None, warm: bool = False,
-                  parts: bool = False):
+                  parts: bool = False, stream: bool = False):
     """Builds the jitted solve function for this (layout, settings,
     dims) signature.  The returned fn maps a dict of device arrays
     {P, q, A, b, d, dinv, e, einv, cscale, normq, normb} to the solution
@@ -573,6 +573,22 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                     ]
                 )
                 hist = s_["hist"].at[s_["iter"]].set(row)
+                if stream:
+                    # live status line per iteration (the reference
+                    # STREAMS print_status, info_print.jl:122-160; the
+                    # post-hoc history buffer alone leaves a
+                    # minutes-long sparse solve silent).  Unbatched
+                    # solver paths only — a vmapped callback would
+                    # interleave problems.
+                    def _emit(i, r):
+                        from .. import info_print
+
+                        print(info_print.format_iteration_row(
+                            int(i), np.asarray(r)), flush=True)
+
+                    jax.debug.callback(
+                        _emit, s_["iter"], row, ordered=True
+                    )
 
             # --- insufficient-progress checkpoint (solver.jl:453-472)
             if not sym:

@@ -145,22 +145,28 @@ def _ldl_kernel(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref, dh_ref, dl_ref):
         ih, il = dd_recip(djh, djl)
         dh_ref[j, :] = ih
         dl_ref[j, :] = il
-        colh = lh_ref[:, j, :]  # (n, lanes); rows < j are dead junk
-        coll = ll_ref[:, j, :]
-        lch, lcl = dd_mul(colh, coll, ih[None, :], il[None, :])
-        lh_ref[:, j, :] = lch
-        ll_ref[:, j, :] = lcl
         if j + 1 < n:
-            # trailing update: a[:, k] -= col * lcol[k], k > j
+            # strictly-below-diagonal column only: rows <= j of column j
+            # are dead (the solves read L's strict lower triangle and D
+            # separately), and the trailing update is confined to the
+            # lower-right square — together a ~45% VPU-instruction cut
+            # vs full-height column ops (the kernel is issue-bound)
+            colh = lh_ref[j + 1 :, j, :]  # (n-j-1, lanes)
+            coll = ll_ref[j + 1 :, j, :]
+            lch, lcl = dd_mul(colh, coll, ih[None, :], il[None, :])
+            lh_ref[j + 1 :, j, :] = lch
+            ll_ref[j + 1 :, j, :] = lcl
+            # trailing update: a[i, k] -= col[i] * lcol[k], i,k > j
             ph, pe = dd_mul(
                 colh[:, None, :], coll[:, None, :],
-                lch[j + 1 :, :][None, :, :], lcl[j + 1 :, :][None, :, :],
+                lch[None, :, :], lcl[None, :, :],
             )
             uh, ul = dd_sub(
-                lh_ref[:, j + 1 :, :], ll_ref[:, j + 1 :, :], ph, pe
+                lh_ref[j + 1 :, j + 1 :, :], ll_ref[j + 1 :, j + 1 :, :],
+                ph, pe,
             )
-            lh_ref[:, j + 1 :, :] = uh
-            ll_ref[:, j + 1 :, :] = ul
+            lh_ref[j + 1 :, j + 1 :, :] = uh
+            ll_ref[j + 1 :, j + 1 :, :] = ul
 
 
 def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
@@ -278,12 +284,18 @@ def _solve_kernel_looped(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref,
 
 def _residual_kernel(n, kh_ref, kl_ref, xh_ref, xl_ref, bh_ref, bl_ref,
                      rh_ref, rl_ref):
-    """r = b - K x in dd (K unregularized): one vectorized (n, n, lanes)
-    dd product, then a pairwise reduction over the contraction axis."""
+    """r = b - K x in dd (K unregularized, SYMMETRIC): one vectorized
+    (n, n, lanes) dd product, then a pairwise reduction.
+
+    Symmetry lets the contraction run over the OUTER axis —
+    (Kx)_i = sum_k K[k, i] x[k] — with x broadcast along sublanes, so
+    no (n, n, lanes) transposes are materialized (the swapaxes pair of
+    the row-contraction form costs as much as the multiply itself).
+    Every KKT caller passes the symmetric quasidefinite K; the kernel
+    is NOT valid for general K."""
     ph, pe = dd_mul(kh_ref[...], kl_ref[...],
-                    xh_ref[...][None, :, :], xl_ref[...][None, :, :])
-    # reduce axis 1 via the axis-0 helper on the swapped view
-    sh, sl = dd_sum_axis0(jnp.swapaxes(ph, 0, 1), jnp.swapaxes(pe, 0, 1))
+                    xh_ref[...][:, None, :], xl_ref[...][:, None, :])
+    sh, sl = dd_sum_axis0(ph, pe)
     h, l = dd_sub(bh_ref[...], bl_ref[...], sh, sl)
     rh_ref[...] = h
     rl_ref[...] = l
@@ -309,10 +321,11 @@ def _refine_kernel(n, npass, solve_body, kh_ref, kl_ref, lh_ref, ll_ref,
                xh_ref, xl_ref)
 
     def resid(xh, xl):
+        # symmetric-K contraction over the outer axis (see
+        # _residual_kernel): no transposes
         ph, pe = dd_mul(kh_ref[...], kl_ref[...],
-                        xh[None, :, :], xl[None, :, :])
-        sh, sl = dd_sum_axis0(jnp.swapaxes(ph, 0, 1),
-                              jnp.swapaxes(pe, 0, 1))
+                        xh[:, None, :], xl[:, None, :])
+        sh, sl = dd_sum_axis0(ph, pe)
         return dd_sub(bh_ref[...], bl_ref[...], sh, sl)
 
     eh, el = resid(xh_ref[...], xl_ref[...])
@@ -437,10 +450,10 @@ def _refine_kernel_r(n, r, npass, solve_body, kh_ref, kl_ref, lh_ref,
     def resid(xh, xl):
         hs, ls = [], []
         for t in range(r):
+            # symmetric-K outer-axis contraction (see _residual_kernel)
             ph, pe = dd_mul(kh_ref[...], kl_ref[...],
-                            xh[:, t, :][None, :, :], xl[:, t, :][None, :, :])
-            sh, sl = dd_sum_axis0(jnp.swapaxes(ph, 0, 1),
-                                  jnp.swapaxes(pe, 0, 1))
+                            xh[:, t, :][:, None, :], xl[:, t, :][:, None, :])
+            sh, sl = dd_sum_axis0(ph, pe)
             h, l = dd_sub(bh_ref[:, t, :], bl_ref[:, t, :], sh, sl)
             hs.append(h)
             ls.append(l)
@@ -737,7 +750,9 @@ def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
 
 
 def dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=False):
-    """r = b - K x (dd, K unregularized) -> (N, B) dd pair."""
+    """r = b - K x (dd, K unregularized and SYMMETRIC) -> (N, B) dd
+    pair.  The kernel contracts over K's leading axis (valid only for
+    symmetric K; every KKT matrix here is)."""
     with jax.enable_x64(False):
         return _cached_impl(_residual_impl, (interpret,),
                             Kh, Kl, xh, xl, bh, bl)

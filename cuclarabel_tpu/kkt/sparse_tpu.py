@@ -218,6 +218,29 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     plan = build_numeric_plan(sym, dsigns)
     kmap = _value_permutation(Next, Ap, Ai, sym)
 
+    # HBM budget guard: an oversized multifrontal dispatch does not
+    # fail cleanly — it CRASHES the TPU worker (observed round 2 at
+    # N=20001 pre-amalgamation: the runaway front plan took the chip
+    # down and the tunnel stayed dead for hours).  The dense path caps
+    # pallas at N<=128 (dense.py resolve_kkt_method); this is the
+    # sparse equivalent.  Override via CUCLARABEL_SPARSE_HBM_BUDGET
+    # (bytes) for bigger-HBM parts.
+    import os as _os
+
+    fbytes = 4 if factor_dtype == jnp.float32 else 8
+    est = plan.memory_estimate_bytes(len(coords), factor_bytes=fbytes)
+    budget = int(float(_os.environ.get(
+        "CUCLARABEL_SPARSE_HBM_BUDGET", 8e9)))
+    if est > budget:
+        raise MemoryError(
+            f"sparse KKT plan needs ~{est/1e9:.2f} GB of device memory "
+            f"(maps + value buffer + stacked fronts) > budget "
+            f"{budget/1e9:.2f} GB; refusing the dispatch (an oversized "
+            "multifrontal program can crash the TPU worker). Reduce the "
+            "problem, improve the ordering, or raise "
+            "CUCLARABEL_SPARSE_HBM_BUDGET if the device has headroom."
+        )
+
     # full-pattern triplets for the refinement matvec (both triangles)
     off = rows_u != cols_u
     full_rows = np.concatenate([rows_u, cols_u[off]])

@@ -174,14 +174,24 @@ def make_batch_solve_fn(
         mesh_shape
     )
     mesh = Mesh(devices, axis_names=("batch",))
-    shard = NamedSharding(mesh, PartitionSpec("batch"))
-    repl = NamedSharding(mesh, PartitionSpec())
-    # out: every leaf carries the batch axis
+    # shard_map (not sharded-jit) so each device runs an INDEPENDENT
+    # while_loop over its shard: a global vmapped loop's termination
+    # test reduces over the whole batch axis, which the partitioner
+    # turns into one scalar all-reduce PER IPM ITERATION (and couples
+    # every device to the globally slowest problem).  With shard_map
+    # the solve path carries ZERO collectives — each device stops at
+    # its own shard's max iteration count (verified in compiled HLO,
+    # scripts/scaling_efficiency.py).
+    from jax import shard_map
+
+    spec = PartitionSpec("batch")
+    repl = PartitionSpec()
+    in_specs = (spec, spec, spec, spec, repl) + ((spec,) * 3 if warm else ())
     return jax.jit(
-        batched,
-        in_shardings=(shard, shard, shard, shard, repl)
-        + ((shard,) * 3 if warm else ()),
-        out_shardings=shard,
+        shard_map(
+            batched, mesh=mesh, in_specs=in_specs, out_specs=spec,
+            check_vma=False,
+        )
     )
 
 

@@ -22,6 +22,12 @@ class Settings:
     # main algorithm settings (src/settings.jl:72-75)
     max_iter: int = 200
     time_limit: float = float("inf")
+    # DELIBERATE deviation from the reference default (verbose=true,
+    # settings.jl:74): this solver embeds in jitted pipelines where
+    # verbose compiles a per-iteration host callback into the device
+    # program (live streaming, loop.py) — silent-by-default is the
+    # right library behavior; set verbose=True for the reference's
+    # banner + live iteration table.
     verbose: bool = False
     max_step_fraction: float = 0.99
 

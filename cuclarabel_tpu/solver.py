@@ -84,8 +84,10 @@ def _to_dense(M, shape) -> np.ndarray:
 def _cached_solve_fn(layout, settings, n, m, has_P, factor_dtype_name,
                      warm=False):
     factor_dtype = jnp.float32 if factor_dtype_name == "float32" else jnp.float64
+    # single-problem path: verbose solves stream a live status line per
+    # iteration (the batch paths build their own fns without streaming)
     return make_solve_fn(layout, settings, n, m, has_P, factor_dtype,
-                         warm=warm)
+                         warm=warm, stream=settings.verbose)
 
 
 def _resolve_factor_dtype(settings, layout=None) -> str:
@@ -275,6 +277,7 @@ class Solver:
                 self.settings, self.n, self.m, self._cones, self._has_P,
                 self.settings.direct_solve_method,
             )
+            info_print.print_iteration_header()
         import contextlib
 
         trace_ctx = (
@@ -348,10 +351,8 @@ class Solver:
         if self.settings.verbose:
             from . import info_print
 
-            if "hist" in out:
-                info_print.print_iteration_history(
-                    np.asarray(out["hist"]), int(out["iterations"])
-                )
+            # iteration lines already streamed live (stream=verbose in
+            # _cached_solve_fn); just close the table
             info_print.print_footer(self.solution)
         return self.solution
 

@@ -217,7 +217,7 @@ class SparseSolver:
         }
         self._solve_fn = make_solve_fn(
             self.layout, settings, n, m, self._has_P, jnp.float64,
-            sparse=self._sp,
+            sparse=self._sp, stream=settings.verbose,
         )
         # index maps as runtime inputs (not baked constants)
         from .kkt.sparse_tpu import make_sparse_tpu_kkt as _mk
@@ -356,6 +356,7 @@ class SparseSolver:
                 self._warm_fn = make_solve_fn(
                     self.layout, self.settings, self.n, self.m,
                     self._has_P, jnp.float64, sparse=self._sp, warm=True,
+                    stream=self.settings.verbose,
                 )
             solve_fn = self._warm_fn
         else:
@@ -371,6 +372,7 @@ class SparseSolver:
                 self.settings, self.n, self.m, self._cones, self._has_P,
                 "sparse multifrontal",
             )
+            info_print.print_iteration_header()
         if math.isfinite(self.settings.time_limit):
             self._dev["t_start"] = jnp.asarray(time.time())
         t0 = time.perf_counter()
@@ -406,12 +408,7 @@ class SparseSolver:
             s_out, z_out = presolve_mod.reverse_presolve(
                 self.presolver, s_out, z_out
             )
-        if self.settings.verbose and "hist" in out:
-            from . import info_print
-
-            info_print.print_iteration_history(
-                np.asarray(out["hist"]), int(out["iterations"])
-            )
+        # iteration lines streamed live (stream=verbose above)
         self.solution = DefaultSolution(
             x=x_out,
             z=z_out,

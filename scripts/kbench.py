@@ -1,0 +1,138 @@
+"""dd-kernel micro-benchmark on the current chip (factor / solve /
+fused refine at the bench shape), with compiled accuracy checks.
+
+Each timed figure runs the kernel CHAIN_K times inside one jitted
+program with a data dependency between launches, so the ~26 ms
+per-dispatch tunnel floor amortizes away and the per-launch time is
+real kernel time.  Warm, median of reps.
+
+Usage: python scripts/kbench.py [N] [B]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("AB_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cuclarabel_tpu.kkt.pallas_dd import (  # noqa: E402
+    dd_ldl_factor, dd_ldl_solve, dd_ldl_solve_refine, dd_residual,
+    split_f64, join_f64,
+)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 83
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+CHAIN_K = 8
+INTERP = jax.default_backend() not in ("tpu", "axon")
+
+rng = np.random.default_rng(0)
+n1 = N // 2
+m1 = N - n1
+A = rng.standard_normal((B, m1, n1))
+K = np.zeros((B, N, N))
+for i in range(B):
+    G = rng.standard_normal((n1, n1)) / np.sqrt(n1)
+    K[i, :n1, :n1] = G @ G.T
+K[:, :n1, n1:] = np.transpose(A, (0, 2, 1))
+K[:, n1:, :n1] = A
+Hs = 10.0 ** rng.uniform(-4, 4, (B, m1))
+K[:, n1:, n1:] = -Hs[:, :, None] * np.eye(m1)
+dsigns = np.concatenate([np.ones(n1), -np.ones(m1)])
+b = rng.standard_normal((B, N))
+
+KT = jnp.moveaxis(jnp.asarray(K), 0, -1)           # (N, N, B)
+Kh0, Kl0 = split_f64(KT)
+reg = jnp.broadcast_to(
+    jnp.asarray(dsigns * 1e-8, jnp.float32)[:, None], (N, B)
+)
+bh0, bl0 = split_f64(jnp.moveaxis(jnp.asarray(b), 0, -1))
+
+
+@jax.jit
+def chain_factor(Kh, Kl):
+    Lh = Ll = Dh = Dl = None
+    for _ in range(CHAIN_K):
+        Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, reg, interpret=INTERP)
+        # data dependency without changing the value's magnitude class
+        Kh = Kh + Lh * jnp.float32(1e-30)
+    return Lh, Ll, Dh, Dl
+
+
+@jax.jit
+def chain_solve(Lh, Ll, Dh, Dl, bh, bl):
+    xh = xl = None
+    for _ in range(CHAIN_K):
+        xh, xl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=INTERP)
+        bh = bh + xh * jnp.float32(1e-30)
+    return xh, xl
+
+
+def make_chain_refine(npass):
+    @jax.jit
+    def f(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl):
+        xh = xl = rh = rl = None
+        for _ in range(CHAIN_K):
+            xh, xl, rh, rl = dd_ldl_solve_refine(
+                Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=npass,
+                interpret=INTERP)
+            bh = bh + xh * jnp.float32(1e-30)
+        return xh, xl, rh, rl
+    return f
+
+
+@jax.jit
+def chain_resid(Kh, Kl, xh, xl, bh, bl):
+    rh = rl = None
+    for _ in range(CHAIN_K):
+        rh, rl = dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=INTERP)
+        xh = xh + rh * jnp.float32(1e-30)
+    return rh, rl
+
+
+def _sync(out):
+    # block_until_ready can return early through the tunneled remote
+    # backend; a host fetch of one element is the only reliable fence
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
+    return out
+
+
+def timed(name, fn, *args):
+    out = _sync(fn(*args))  # compile + warm
+    _sync(fn(*args))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        ts.append((time.perf_counter() - t0) / CHAIN_K * 1e3)
+    print(f"{name}: {np.median(ts):.2f} ms/launch  (reps {[round(t,2) for t in ts]})",
+          flush=True)
+    return out
+
+
+print(f"kbench N={N} B={B} backend={jax.default_backend()} chain={CHAIN_K}")
+t0 = time.time()
+Lh, Ll, Dh, Dl = timed("factor", chain_factor, Kh0, Kl0)
+xh, xl = timed("solve ", chain_solve, Lh, Ll, Dh, Dl, bh0, bl0)
+timed("resid ", chain_resid, Kh0, Kl0, xh, xl, bh0, bl0)
+xr = timed("refine2", make_chain_refine(2), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
+xr1 = timed("refine1", make_chain_refine(1), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
+
+# ---- accuracy: compiled relres of the refined solve
+for tag, (xh_, xl_, _, _) in (("refine2", xr), ("refine1", xr1)):
+    x = np.moveaxis(np.asarray(join_f64(xh_, xl_)), -1, 0)
+    Kreg = K + (dsigns * 1e-8) * np.eye(N)
+    r = b - np.einsum("bij,bj->bi", Kreg, x)
+    # measured against the REGULARIZED operator the factor represents;
+    # the refine kernel targets the unregularized K, so allow the
+    # 1e-8-regularization gap
+    relres = np.abs(r).max() / (np.abs(Kreg).max(1).sum(1) * np.abs(x).max(1) + 1).max()
+    print(f"{tag} relres vs K+reg: {np.abs(r).max():.3e} (norm-scaled {relres:.3e})")
+print(f"total {time.time()-t0:.1f}s")

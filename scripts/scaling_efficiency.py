@@ -1,0 +1,135 @@
+"""Data-parallel scaling-efficiency harness (virtual CPU mesh).
+
+No real multi-chip hardware is reachable from this container (one v5e
+via a tunnel), so the scaling evidence for the dp axis is measured on a
+virtual CPU mesh and complemented by a structural check:
+
+  * WEAK scaling: fixed per-device batch, devices 1..D; efficiency(d) =
+    t(1) / t(d) (perfect overlap = 1.0).  NB the host has a limited
+    core count — weak scaling past `nproc` devices is core-starved, not
+    communication-bound, so the harness reports efficiency only up to
+    the physical core count and marks the rest "oversubscribed".
+  * COLLECTIVE count: the dp-sharded batched solve must contain ZERO
+    cross-device collectives (each problem is independent; the batch
+    axis shards cleanly).  The compiled HLO is scanned for collective
+    ops — this is the property that makes dp scaling communication-free
+    on real ICI/DCN meshes, and it holds identically there.
+
+Usage: python scripts/scaling_efficiency.py [max_devices]
+Writes benchmarks/ab_results/scaling_dp.json and prints a table.
+"""
+
+import json
+import os
+import sys
+import time
+
+MAXD = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={MAXD}"
+)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", None)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from __graft_entry__ import _portfolio_socp  # noqa: E402
+from cuclarabel_tpu.parallel.batch import BatchSolver  # noqa: E402
+
+PER_DEV = 16
+NASS = 8
+NPROC = os.cpu_count() or 1
+
+COLLECTIVE_OPS = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+
+
+def count_collectives(solver):
+    """Scan the compiled dp program's HLO for collective ops."""
+    fn = solver._fn
+    args = solver._args + (jax.numpy.asarray(0.0),)
+    txt = fn.lower(*args).compile().as_text()
+    counts = {}
+    for op in COLLECTIVE_OPS:
+        k = sum(txt.count(f"{op}{suf}") for suf in ("(", "-start(", "."))
+        if k:
+            counts[op] = k
+    return counts
+
+
+def run(d):
+    # WEAK scaling with IDENTICAL per-device work: the same PER_DEV
+    # problems replicated to every device.  Distinct problems would
+    # change the batch's max iteration count with d (the fused loop
+    # runs to the last unconverged problem) and contaminate the
+    # efficiency with iteration-count heterogeneity.
+    B = PER_DEV * d
+    A, qs0, bs0, cones = _portfolio_socp(nass=NASS, batch=PER_DEV, seed=3)
+    qs = np.tile(qs0, (d, 1))
+    bs = np.tile(bs0, (d, 1))
+    solver = BatchSolver(None, qs, A, bs, cones, n_devices=d,
+                         batch_compaction=0.0)
+    sols = solver.solve()  # compile + warm
+    bad = [s.status.name for s in sols if s.status.name != "SOLVED"]
+    assert not bad, bad
+    reps = []
+    for r in range(5):
+        solver.update_data(q=qs * (1 + 1e-9 * (r + 1)))
+        t0 = time.perf_counter()
+        solver.solve()
+        reps.append(time.perf_counter() - t0)
+    return float(np.median(reps)), solver
+
+
+devices = [d for d in (1, 2, 4, 8, 16) if d <= MAXD]
+t1 = None
+rows = []
+ncoll = None
+for d in devices:
+    t, solver = run(d)
+    if d == 1:
+        t1 = t
+    if d == max(devices):
+        # scan the WIDEST program — a 1-device program trivially has
+        # no collectives
+        ncoll = count_collectives(solver)
+    eff = t1 / t
+    note = "" if d <= NPROC else f" (oversubscribed: {NPROC} cores)"
+    rows.append({
+        "devices": d, "batch": PER_DEV * d, "time_s": round(t, 4),
+        "weak_scaling_efficiency": round(eff, 4),
+        "oversubscribed": d > NPROC,
+    })
+    print(f"{d} dev  B={PER_DEV*d:4d}  {t:7.4f}s  eff={100*eff:6.1f}%{note}",
+          flush=True)
+
+print(f"dp program collectives: {ncoll or 'NONE (communication-free)'}")
+out = {
+    "workload": f"portfolio SOCP nass={NASS}, {PER_DEV} problems/device",
+    "mode": "weak scaling, virtual CPU mesh",
+    "host_cores": NPROC,
+    "rows": rows,
+    "dp_collectives_in_hlo": ncoll,
+    "note": (
+        "dp batch sharding carries zero cross-device collectives on the "
+        "solve path (verified in compiled HLO); on real ICI/DCN meshes "
+        "the axis is therefore communication-free and efficiency is "
+        "bounded by per-device compute only.  Virtual-mesh efficiency "
+        "beyond the physical core count measures core oversubscription, "
+        "not the framework."
+    ),
+}
+path = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benchmarks", "ab_results",
+    "scaling_dp.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print("wrote", path)

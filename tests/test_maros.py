@@ -25,7 +25,7 @@ def test_maros_dense(make):
     sol = cc.Solver(p.P, p.q, p.A, p.b, p.cones).solve()
     assert sol.status == cc.SolverStatus.SOLVED, p.name
     obj = sol.obj_val + p.obj_const
-    assert obj == pytest.approx(p.obj_golden, abs=2e-6), p.name
+    assert obj == pytest.approx(p.obj_golden, abs=2e-6, rel=1e-8), p.name
 
 
 @pytest.mark.parametrize("make", PROBLEMS, ids=lambda f: f.__name__)
@@ -38,4 +38,4 @@ def test_maros_sparse(make):
     ).solve()
     assert sol.status == cc.SolverStatus.SOLVED, p.name
     obj = sol.obj_val + p.obj_const
-    assert obj == pytest.approx(p.obj_golden, abs=2e-6), p.name
+    assert obj == pytest.approx(p.obj_golden, abs=2e-6, rel=1e-8), p.name
