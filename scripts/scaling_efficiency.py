@@ -42,8 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from __graft_entry__ import _portfolio_socp  # noqa: E402
 from cuclarabel_tpu.parallel.batch import BatchSolver  # noqa: E402
 
-PER_DEV = 16
-NASS = 8
+PER_DEV = int(os.environ.get("SCALING_PER_DEV", "16"))
+NASS = int(os.environ.get("SCALING_NASS", "8"))
 NPROC = os.cpu_count() or 1
 
 COLLECTIVE_OPS = (
