@@ -79,6 +79,10 @@ class _HostKKT:
                 reg_enable=st.dynamic_regularization_enable,
                 eps=st.dynamic_regularization_eps,
                 delta=st.dynamic_regularization_delta,
+                # reference forwards max_threads to its multithreaded
+                # LDL backends (settings.jl:108-110); here it sizes the
+                # level-parallel native refactorization (0 = auto)
+                max_threads=st.max_threads,
             )
         iu, ju = self.pattern
         ok = self.fac.refactor(Kreg[iu, ju])

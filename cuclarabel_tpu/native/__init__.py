@@ -36,7 +36,7 @@ def _build() -> bool:
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
             return True
         cmd = [
-            "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-fopenmp",
             _SRC, "-o", _LIB,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
@@ -59,7 +59,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ldl_pattern.restype = None
     lib.ldl_pattern.argtypes = [
         ctypes.c_int64, _I64, _I64, _I64, _I64,
-        _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64,
+        _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64,
+    ]
+    lib.ldl_refactor_mt.restype = ctypes.c_int64
+    lib.ldl_refactor_mt.argtypes = [
+        ctypes.c_int64, _F64,
+        _I64, _I64, _I64,
+        _I64, _I64, _I64,
+        _I64, _I64, _F64,
+        _F64, _F64, _I64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        _I64, _I64, ctypes.c_int64, ctypes.c_int64, _F64,
     ]
     lib.ldl_refactor.restype = ctypes.c_int64
     lib.ldl_refactor.argtypes = [
@@ -98,7 +108,7 @@ class LDLFactor:
     time)."""
 
     def __init__(self, n, Ap, Ai, dsigns, reg_enable=True,
-                 eps=1e-13, delta=2e-7):
+                 eps=1e-13, delta=2e-7, max_threads=1):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native LDL library unavailable")
@@ -130,30 +140,75 @@ class LDLFactor:
         self.Uj = np.zeros(nnzA, dtype=np.int64)
         self.Usrc = np.zeros(nnzA, dtype=np.int64)
         pwork = np.zeros(2 * self.n, dtype=np.int64)
+        self.Rpos = np.zeros(self.nnzL, dtype=np.int64)
         lib.ldl_pattern(
             self.n, _ptr_i(self.Ap), _ptr_i(self.Ai), _ptr_i(self.etree),
             _ptr_i(self.Lcnt), _ptr_i(self.Lp), _ptr_i(self.Li),
-            _ptr_i(self.Rp), _ptr_i(self.Rj), _ptr_i(self.Up),
-            _ptr_i(self.Uj), _ptr_i(self.Usrc), _ptr_i(pwork),
+            _ptr_i(self.Rp), _ptr_i(self.Rj), _ptr_i(self.Rpos),
+            _ptr_i(self.Up), _ptr_i(self.Uj), _ptr_i(self.Usrc),
+            _ptr_i(pwork),
         )
         self.Lx = np.zeros(self.nnzL)
         self.D = np.zeros(self.n)
         self.Dinv = np.zeros(self.n)
         self._head = np.zeros(self.n, dtype=np.int64)
-        self._acc = np.zeros(self.n)
+
+        # thread count: 0 = auto (parallelize only when the factor is
+        # big enough that per-level fan-out beats thread overhead);
+        # the reference forwards max_threads to its multithreaded LDL
+        # backends the same way (settings.jl:108-110)
+        if max_threads == 0:
+            auto_on = self.nnzL >= 200_000
+            max_threads = min(os.cpu_count() or 1, 8) if auto_on else 1
+        self.nthreads = max(1, int(max_threads))
+        if self.nthreads > 1:
+            # etree levels: parent > child always, so one ascending
+            # pass computes level[k] = 1 + max(level[children])
+            level = np.zeros(self.n, dtype=np.int64)
+            et = self.etree
+            for k in range(self.n):
+                p = et[k]
+                if p >= 0 and level[p] <= level[k]:
+                    level[p] = level[k] + 1
+            nlevels = int(level.max()) + 1 if self.n else 1
+            # chain-like etrees (average level width below ~2 columns
+            # per thread) have no exploitable level parallelism — the
+            # per-level barrier would dominate; stay sequential
+            if self.n / max(nlevels, 1) < 2 * self.nthreads:
+                self.nthreads = 1
+            else:
+                order = np.argsort(level, kind="stable").astype(np.int64)
+                counts = np.bincount(level, minlength=nlevels)
+                self._level_cols = np.ascontiguousarray(order)
+                self._level_starts = np.concatenate(
+                    [[0], np.cumsum(counts)]).astype(np.int64)
+                self._nlevels = nlevels
+        self._acc = np.zeros(self.nthreads * self.n)
 
     def refactor(self, Ax) -> bool:
         """Numeric refactorization with the cached symbolic structure."""
         Ax = np.ascontiguousarray(Ax, dtype=np.float64)
-        pos = self.lib.ldl_refactor(
-            self.n, _ptr_f(Ax),
-            _ptr_i(self.Up), _ptr_i(self.Uj), _ptr_i(self.Usrc),
-            _ptr_i(self.Rp), _ptr_i(self.Rj),
-            _ptr_i(self.Lp), _ptr_i(self.Li), _ptr_f(self.Lx),
-            _ptr_f(self.D), _ptr_f(self.Dinv), _ptr_i(self.dsigns),
-            self.reg_enable, self.eps, self.delta,
-            _ptr_i(self._head), _ptr_f(self._acc),
-        )
+        if self.nthreads > 1:
+            pos = self.lib.ldl_refactor_mt(
+                self.n, _ptr_f(Ax),
+                _ptr_i(self.Up), _ptr_i(self.Uj), _ptr_i(self.Usrc),
+                _ptr_i(self.Rp), _ptr_i(self.Rj), _ptr_i(self.Rpos),
+                _ptr_i(self.Lp), _ptr_i(self.Li), _ptr_f(self.Lx),
+                _ptr_f(self.D), _ptr_f(self.Dinv), _ptr_i(self.dsigns),
+                self.reg_enable, self.eps, self.delta,
+                _ptr_i(self._level_cols), _ptr_i(self._level_starts),
+                self._nlevels, self.nthreads, _ptr_f(self._acc),
+            )
+        else:
+            pos = self.lib.ldl_refactor(
+                self.n, _ptr_f(Ax),
+                _ptr_i(self.Up), _ptr_i(self.Uj), _ptr_i(self.Usrc),
+                _ptr_i(self.Rp), _ptr_i(self.Rj),
+                _ptr_i(self.Lp), _ptr_i(self.Li), _ptr_f(self.Lx),
+                _ptr_f(self.D), _ptr_f(self.Dinv), _ptr_i(self.dsigns),
+                self.reg_enable, self.eps, self.delta,
+                _ptr_i(self._head), _ptr_f(self._acc),
+            )
         # success iff all D finite (directldl_qdldl.jl:79)
         return pos >= 0 and bool(np.all(np.isfinite(self.D)))
 

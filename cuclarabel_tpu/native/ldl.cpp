@@ -35,6 +35,9 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 using std::int64_t;
 
@@ -79,7 +82,7 @@ int64_t ldl_analyze(int64_t n, const int64_t* Ap, const int64_t* Ai,
 void ldl_pattern(int64_t n, const int64_t* Ap, const int64_t* Ai,
                  const int64_t* etree, const int64_t* Lcnt,
                  int64_t* Lp, int64_t* Li, int64_t* Rp, int64_t* Rj,
-                 int64_t* Up, int64_t* Uj, int64_t* Usrc,
+                 int64_t* Rpos, int64_t* Up, int64_t* Uj, int64_t* Usrc,
                  int64_t* work) {
     int64_t* mark = work;
     int64_t* fill = work + n;
@@ -100,7 +103,11 @@ void ldl_pattern(int64_t n, const int64_t* Ap, const int64_t* Ai,
             }
         }
     }
-    // CSR of L by transposition (gives each row's columns ascending)
+    // CSR of L by transposition (gives each row's columns ascending);
+    // Rpos records, for each row-pattern entry (k, j), the position of
+    // row k within column j's storage — the level-parallel refactor
+    // reads its per-column start offsets from here instead of the
+    // sequential sweep's moving `head` cursors
     for (int64_t i = 0; i <= n; i++) Rp[i] = 0;
     int64_t nnzL = Lp[n];
     for (int64_t p = 0; p < nnzL; p++) Rp[Li[p] + 1]++;
@@ -108,7 +115,9 @@ void ldl_pattern(int64_t n, const int64_t* Ap, const int64_t* Ai,
     for (int64_t i = 0; i < n; i++) fill[i] = Rp[i];
     for (int64_t j = 0; j < n; j++) {
         for (int64_t p = Lp[j]; p < Lp[j + 1]; p++) {
-            Rj[fill[Li[p]]++] = j;
+            int64_t q = fill[Li[p]]++;
+            Rj[q] = j;
+            Rpos[q] = p;
         }
     }
     // CSR view of upper-CSC A with source slots
@@ -174,6 +183,89 @@ int64_t ldl_refactor(int64_t n, const double* Ax,
         }
     }
     return positive_d;
+}
+
+// Level-parallel numeric refactorization (honors the max_threads
+// setting, the analog of the reference forwarding max_threads to its
+// multithreaded Pardiso/MKL backends, settings.jl:108-110).
+//
+// Columns whose etree levels differ have a dependency (L[k,j] != 0
+// implies j is a proper etree descendant of k, so level[j] < level[k]);
+// columns WITHIN one level are independent and factor concurrently.
+// level_cols lists columns grouped by level; level_starts (nlevels+1)
+// delimits the groups.  Each thread uses its own dense accumulator
+// (c_all is nthreads * n, zeroed).  Per-column arithmetic order is
+// identical to the sequential sweep, so results match it bitwise.
+// Returns the number of positive D entries, or -1 on a zero pivot.
+int64_t ldl_refactor_mt(int64_t n, const double* Ax,
+                        const int64_t* Up, const int64_t* Uj,
+                        const int64_t* Usrc,
+                        const int64_t* Rp, const int64_t* Rj,
+                        const int64_t* Rpos,
+                        const int64_t* Lp, const int64_t* Li, double* Lx,
+                        double* D, double* Dinv, const int64_t* dsigns,
+                        int64_t reg_enable, double eps, double delta,
+                        const int64_t* level_cols,
+                        const int64_t* level_starts, int64_t nlevels,
+                        int64_t nthreads, double* c_all) {
+    int64_t positive_d = 0;
+    int64_t zero_pivot = 0;
+#ifndef _OPENMP
+    nthreads = 1;
+#endif
+#ifdef _OPENMP
+    // ONE parallel region for the whole sweep (a region per level
+    // would respawn/resync the team nlevels times; with chain-like
+    // etrees that overhead dwarfs the arithmetic).  The omp-for per
+    // level keeps the level barrier only.
+#pragma omp parallel num_threads((int)nthreads) \
+    reduction(+ : positive_d) reduction(| : zero_pivot)
+#endif
+    {
+#ifdef _OPENMP
+        double* c = c_all + (int64_t)omp_get_thread_num() * n;
+#else
+        double* c = c_all;
+#endif
+        for (int64_t lv = 0; lv < nlevels; lv++) {
+            int64_t lo = level_starts[lv], hi = level_starts[lv + 1];
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 4)
+#endif
+            for (int64_t t0 = lo; t0 < hi; t0++) {
+                int64_t k = level_cols[t0];
+                for (int64_t t = Up[k]; t < Up[k + 1]; t++) {
+                    c[Uj[t]] = Ax[Usrc[t]];
+                }
+                for (int64_t t = Rp[k]; t < Rp[k + 1]; t++) {
+                    int64_t j = Rj[t];
+                    int64_t p0 = Rpos[t];  // row k's slot in column j
+                    double w = D[j] * Lx[p0];
+                    for (int64_t p = p0; p < Lp[j + 1]; p++) {
+                        c[Li[p]] -= Lx[p] * w;
+                    }
+                }
+                double dk = c[k];
+                c[k] = 0.0;
+                if (reg_enable &&
+                    (dk == 0.0 || (double)dsigns[k] * dk < eps)) {
+                    dk = (double)dsigns[k] * delta;
+                }
+                if (dk == 0.0) {
+                    zero_pivot |= 1;
+                    dk = 1.0;  // keep going; the caller sees the flag
+                }
+                if (dk > 0.0) positive_d++;
+                D[k] = dk;
+                Dinv[k] = 1.0 / dk;
+                for (int64_t p = Lp[k]; p < Lp[k + 1]; p++) {
+                    Lx[p] = c[Li[p]] * Dinv[k];
+                    c[Li[p]] = 0.0;
+                }
+            }
+        }
+    }
+    return zero_pivot ? -1 : positive_d;
 }
 
 // Solve (L + I) D (L + I)^T x = b in place (x contains b on entry).

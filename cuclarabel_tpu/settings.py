@@ -214,20 +214,15 @@ class Settings:
                 "backend on TPU",
                 stacklevel=2,
             )
-        if self.max_threads != 0:
-            # reference forwards max_threads to multithreaded LDL
-            # backends (settings.jl:108-110, ext/directldl_pardiso.jl);
-            # here device parallelism is XLA's and the native CPU LDL is
-            # sequential, so a nonzero request cannot be honored — say so
-            # instead of silently ignoring it.
-            import warnings
-
-            warnings.warn(
-                "max_threads is accepted for reference compatibility but "
-                "has no effect: XLA manages device parallelism and the "
-                "native sparse backend is single-threaded",
-                stacklevel=2,
-            )
+        if self.max_threads < 0:
+            raise ValueError("max_threads must be >= 0 (0 = automatic)")
+        # max_threads is honored by the native host LDL backend
+        # (direct_solve_method="qdldl"): level-parallel numeric
+        # refactorization over independent elimination-tree levels
+        # (native/ldl.cpp ldl_refactor_mt; 0 = auto).  Device paths are
+        # parallelized by XLA and ignore it, matching the reference
+        # where only the Pardiso/MKL backends consume the setting
+        # (settings.jl:108-110).
         if not (0.0 < self.max_step_fraction <= 1.0):
             raise ValueError("max_step_fraction must be in (0, 1]")
         if self.kkt_factor_precision not in ("auto", "float32", "float64"):

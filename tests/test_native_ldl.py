@@ -98,3 +98,59 @@ def test_mindeg_ordering_valid_permutation():
         Ap.append(len(Ai))
     perm = mindeg_ordering(n, np.asarray(Ap), np.asarray(Ai))
     assert sorted(perm.tolist()) == list(range(n))
+
+
+def test_parallel_refactor_matches_sequential():
+    """Level-parallel refactorization (max_threads > 1) is bitwise
+    identical to the sequential sweep (per-column arithmetic order is
+    unchanged), and chain-like etrees fall back to 1 thread."""
+    import scipy.sparse as sp
+
+    from cuclarabel_tpu.native import LDLFactor, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    nb, bs_ = 50, 8
+    blocks = []
+    for _ in range(nb):
+        G = rng.standard_normal((bs_, bs_))
+        blocks.append(G @ G.T + bs_ * np.eye(bs_))
+    K = sp.block_diag(blocks).tocsc()
+    n = nb * bs_
+    Ku = sp.triu(K).tocsc()
+    ds = np.ones(n, dtype=np.int64)
+    f1 = LDLFactor(n, Ku.indptr, Ku.indices, ds, max_threads=1)
+    f4 = LDLFactor(n, Ku.indptr, Ku.indices, ds, max_threads=4)
+    assert f4.nthreads == 4
+    assert f1.refactor(Ku.data) and f4.refactor(Ku.data)
+    np.testing.assert_array_equal(f1.Lx, f4.Lx)
+    np.testing.assert_array_equal(f1.D, f4.D)
+    b = rng.standard_normal(n)
+    np.testing.assert_array_equal(f1.solve(b), f4.solve(b))
+
+    # chain etree: tridiagonal -> no level parallelism, auto-fallback
+    m = 256
+    T = sp.diags([4 * np.ones(m), np.ones(m - 1), np.ones(m - 1)],
+                 [0, 1, -1]).tocsc()
+    Tu = sp.triu(T).tocsc()
+    fc = LDLFactor(m, Tu.indptr, Tu.indices,
+                   np.ones(m, dtype=np.int64), max_threads=4)
+    assert fc.nthreads == 1
+
+
+def test_max_threads_through_solver():
+    """settings.max_threads reaches the native backend without error
+    (reference forwards it to multithreaded LDL, settings.jl:108-110)."""
+    import cuclarabel_tpu as cc
+
+    P = np.array([[2.0, 0.0], [0.0, 2.0]])
+    q = np.array([-1.0, -1.0])
+    A = -np.eye(2)
+    b = np.zeros(2)
+    sol = cc.Solver(P, q, A, b, [cc.NonnegativeConeT(2)],
+                    direct_solve_method="qdldl", max_threads=2).solve()
+    assert sol.status == cc.SolverStatus.SOLVED
+    np.testing.assert_allclose(sol.x, [0.5, 0.5], atol=1e-7)
