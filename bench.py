@@ -190,10 +190,26 @@ def main():
     # launches (a real data dependency between them) amortize the
     # ~26 ms tunnel dispatch floor; the host fetch of one element is
     # the only reliable execution fence through the tunnel.
-    def _kernel_attainment(Bk=4096, chain=8):
+    def _kernel_attainment(Bk=4096, chain=None):
         from cuclarabel_tpu.kkt.pallas_dd import (
             dd_ldl_factor, dd_ldl_solve_refine, split_f64,
         )
+
+        if chain is None:
+            # chained launches only matter when per-launch dispatch
+            # overhead is non-negligible vs the ~10-20 ms kernels (the
+            # 2026-08 tunnel dispatches in ~0.1 ms; the older one took
+            # ~26 ms).  Long unrolled chains also inflate the compile
+            # payload past the remote compiler's request-size limit
+            # (HTTP 413), so only chain when the floor demands it.
+            tiny = jax.jit(lambda a: a + 1.0)
+            z = jnp.zeros((8,), jnp.float32)
+            np.asarray(tiny(z)[:1])
+            t0 = time.perf_counter()
+            for _ in range(30):
+                np.asarray(tiny(z)[:1])
+            floor_ms = (time.perf_counter() - t0) / 30 * 1e3
+            chain = 8 if floor_ms > 2.0 else 1
 
         rng = np.random.default_rng(0)
         n1, m1 = n, N - n
@@ -212,11 +228,16 @@ def main():
         bk = rng.standard_normal((Bk, N))
         bh, bl = split_f64(jnp.moveaxis(jnp.asarray(bk), 0, -1))
 
+        # every operand is an explicit argument: a device array merely
+        # CLOSED OVER by a jitted fn is embedded in the MLIR as a
+        # constant (via a device->host readback), and at B=4096 the
+        # (N, N, B) factors are ~113 MB each — the 2026-08 tunnel's
+        # remote compiler rejects such payloads outright (HTTP 413)
         @jax.jit
-        def chain_factor(Kh_, Kl_):
+        def chain_factor(Kh_, Kl_, reg_):
             out = None
             for _ in range(chain):
-                out = dd_ldl_factor(Kh_, Kl_, regk)
+                out = dd_ldl_factor(Kh_, Kl_, reg_)
                 Kh_ = Kh_ + out[0] * jnp.float32(1e-30)
             return out
 
@@ -224,18 +245,18 @@ def main():
             np.asarray(jax.tree_util.tree_leaves(o)[0][..., :1])
             return o
 
-        Lh, Ll, Dh, Dl = sync(chain_factor(Kh, Kl))
+        Lh, Ll, Dh, Dl = sync(chain_factor(Kh, Kl, regk))
 
         @jax.jit
-        def chain_refine(bh_, bl_):
+        def chain_refine(Kh_, Kl_, Lh_, Ll_, Dh_, Dl_, bh_, bl_):
             out = None
             for _ in range(chain):
-                out = dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl,
+                out = dd_ldl_solve_refine(Kh_, Kl_, Lh_, Ll_, Dh_, Dl_,
                                           bh_, bl_, npass=2)
                 bh_ = bh_ + out[0] * jnp.float32(1e-30)
             return out
 
-        sync(chain_refine(bh, bl))
+        sync(chain_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl))
 
         def t3(fn, *a):
             ts = []
@@ -245,9 +266,9 @@ def main():
                 ts.append((time.perf_counter() - t0) / chain * 1e3)
             return float(np.median(ts))
 
-        sync(chain_factor(Kh, Kl))
-        f_ms = t3(chain_factor, Kh, Kl)
-        r_ms = t3(chain_refine, bh, bl)
+        sync(chain_factor(Kh, Kl, regk))
+        f_ms = t3(chain_factor, Kh, Kl, regk)
+        r_ms = t3(chain_refine, Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
         f_ops = 28.0 * N**3 / 3.0 * Bk
         r_ops = 6.0 * 28.0 * N**2 * Bk
         return {

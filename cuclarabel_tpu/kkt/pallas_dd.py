@@ -121,6 +121,24 @@ def dd_sum_axis0(h, l):
     return h[0], l[0]
 
 
+def dd_sum_axis(h, l, axis):
+    """Pairwise dd reduction along an arbitrary axis (removed)."""
+    while h.shape[axis] > 1:
+        k = h.shape[axis]
+        if k % 2:
+            pad = [(0, 0)] * h.ndim
+            pad[axis] = (0, 1)
+            h = jnp.pad(h, pad)
+            l = jnp.pad(l, pad)
+            k += 1
+        h1 = jax.lax.slice_in_dim(h, 0, k // 2, axis=axis)
+        h2 = jax.lax.slice_in_dim(h, k // 2, k, axis=axis)
+        l1 = jax.lax.slice_in_dim(l, 0, k // 2, axis=axis)
+        l2 = jax.lax.slice_in_dim(l, k // 2, k, axis=axis)
+        h, l = dd_add(h1, l1, h2, l2)
+    return jnp.squeeze(h, axis), jnp.squeeze(l, axis)
+
+
 # ---------------------------------------------------------------------
 # kernels (batch across lanes: operands (N, N, LANES) per grid step)
 # ---------------------------------------------------------------------
@@ -193,12 +211,92 @@ def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
         xl_ref[j, :] = l
 
 
+def _solve_kernel_blocked(n, p, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref,
+                          bl_ref, xh_ref, xl_ref):
+    """Blocked (L+I) D (L+I)^T x = b: substitution by width-p panels.
+
+    The plain unrolled substitution is a chain of n sequential steps
+    whose step-j reduction spans j rows — at n ~ 83 each step's operand
+    covers up to ceil(n/8) sublane groups and the whole sweep is
+    dependency-latency-bound (measured 11.6% of VPU issue peak,
+    docs/performance.md).  Blocking reorders the SAME dd operations:
+    inside a width-p panel the step reductions span < p rows (one
+    sublane group when p = 8), and each panel's contribution to the
+    rows below/above it is applied once as a vectorized rank-p update
+    (a (rows, p, lanes) dd product + log2(p) tree levels).  The
+    dependency chain becomes n short steps + n/p wide ops.  Bitwise
+    reordering only changes the summation tree, staying within the same
+    dd error class; the fused refine's monotone-accept IR passes gate
+    any per-lane regression exactly as before."""
+    xh_ref[...] = bh_ref[...]
+    xl_ref[...] = bl_ref[...]
+    for s in range(0, n, p):  # forward: (I+L) y = b
+        e = min(s + p, n)
+        for j in range(s + 1, e):
+            ph, pe = dd_mul(lh_ref[j, s:j, :], ll_ref[j, s:j, :],
+                            xh_ref[s:j, :], xl_ref[s:j, :])
+            sh, sl = dd_sum_axis0(ph, pe)
+            h, l = dd_sub(xh_ref[j, :], xl_ref[j, :], sh, sl)
+            xh_ref[j, :] = h
+            xl_ref[j, :] = l
+        if e < n:
+            # x[e:] -= L[e:, s:e] @ x[s:e], contraction over the panel
+            ph, pe = dd_mul(
+                lh_ref[e:, s:e, :], ll_ref[e:, s:e, :],
+                xh_ref[s:e, :][None, :, :], xl_ref[s:e, :][None, :, :],
+            )
+            sh, sl = dd_sum_axis(ph, pe, axis=1)
+            h, l = dd_sub(xh_ref[e:, :], xl_ref[e:, :], sh, sl)
+            xh_ref[e:, :] = h
+            xl_ref[e:, :] = l
+    h, l = dd_mul(xh_ref[...], xl_ref[...], dh_ref[...], dl_ref[...])
+    xh_ref[...] = h
+    xl_ref[...] = l
+    for s in reversed(range(0, n, p)):  # backward: (I+L)^T x = y
+        e = min(s + p, n)
+        if e < n:
+            # x[s:e] -= L[e:, s:e]^T @ x[e:], contraction over rows below
+            ph, pe = dd_mul(
+                lh_ref[e:, s:e, :], ll_ref[e:, s:e, :],
+                xh_ref[e:, :][:, None, :], xl_ref[e:, :][:, None, :],
+            )
+            sh, sl = dd_sum_axis0(ph, pe)
+            h, l = dd_sub(xh_ref[s:e, :], xl_ref[s:e, :], sh, sl)
+            xh_ref[s:e, :] = h
+            xl_ref[s:e, :] = l
+        for j in range(e - 2, s - 1, -1):
+            ph, pe = dd_mul(lh_ref[j + 1 : e, j, :], ll_ref[j + 1 : e, j, :],
+                            xh_ref[j + 1 : e, :], xl_ref[j + 1 : e, :])
+            sh, sl = dd_sum_axis0(ph, pe)
+            h, l = dd_sub(xh_ref[j, :], xl_ref[j, :], sh, sl)
+            xh_ref[j, :] = h
+            xl_ref[j, :] = l
+
+
 # Unrolled kernels past this size explode Mosaic compile memory; below
 # it they win on runtime but cost minutes of Python TRACING per
 # process (the persistent cache only skips XLA compile, not tracing).
 # Env override for experiments: 0 forces the fori_loop variants
 # everywhere (constant-size IR, seconds to trace).
 UNROLL_MAX = int(os.environ.get("CUCLARABEL_DD_UNROLL_MAX", "96"))
+
+# Substitution panel width for _solve_kernel_blocked (0 disables).
+# Default decided by on-chip A/B (benchmarks/ab_results/); per-call
+# `block=` overrides for experiments.
+DD_BLOCK = int(os.environ.get("CUCLARABEL_DD_BLOCK", "8"))
+
+
+def _solve_body_for(n, block):
+    """Pick the substitution body: looped (constant IR) above
+    UNROLL_MAX, else blocked panels when enabled, else plain unrolled."""
+    if n > UNROLL_MAX:
+        return _solve_kernel_looped
+    if 0 < block < n:
+        def body(n_, *refs, _p=block):
+            return _solve_kernel_blocked(n_, _p, *refs)
+
+        return body
+    return _solve_kernel
 
 
 def _ldl_kernel_looped(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
@@ -548,7 +646,7 @@ def _factor_impl(Kh, Kl, reg, interpret):
     return Lh[..., :b0], Ll[..., :b0], Dh[..., :b0], Dl[..., :b0]
 
 
-def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret):
+def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret, block=0):
     N = Lh.shape[0]
     lanes = _lanes_for(N)
     b0 = bh.shape[-1]
@@ -556,7 +654,7 @@ def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret):
     Bp = args[0].shape[-1]
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
-    kern = _solve_kernel if N <= UNROLL_MAX else _solve_kernel_looped
+    kern = _solve_body_for(N, block)
     xh, xl = pl.pallas_call(
         functools.partial(kern, N),
         grid=(Bp // lanes,),
@@ -595,7 +693,8 @@ def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret):
     return rh[..., :b0], rl[..., :b0]
 
 
-def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
+def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret,
+                 block=0):
     N = Kh.shape[0]
     lanes = _lanes_for(N)
     b0 = bh.shape[-1]
@@ -604,7 +703,7 @@ def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
     Bp = args[0].shape[-1]
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
-    solve_body = _solve_kernel if N <= UNROLL_MAX else _solve_kernel_looped
+    solve_body = _solve_body_for(N, block)
     xh, xl, rh, rl = pl.pallas_call(
         functools.partial(_refine_kernel, N, npass, solve_body),
         grid=(Bp // lanes,),
@@ -742,10 +841,12 @@ def dd_ldl_factor(Kh, Kl, reg, interpret=False):
         return _cached_impl(_factor_impl, (interpret,), Kh, Kl, reg)
 
 
-def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
-    """Solve with dd factors; b (N, B) dd pair -> x (N, B) dd pair."""
+def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False, block=None):
+    """Solve with dd factors; b (N, B) dd pair -> x (N, B) dd pair.
+    block: substitution panel width (None = module default DD_BLOCK)."""
+    blk = DD_BLOCK if block is None else block
     with jax.enable_x64(False):
-        return _cached_impl(_solve_impl, (interpret,),
+        return _cached_impl(_solve_impl, (interpret, blk),
                             Lh, Ll, Dh, Dl, bh, bl)
 
 
@@ -759,15 +860,16 @@ def dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=False):
 
 
 def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
-                        interpret=False):
+                        interpret=False, block=None):
     """Fused solve + `npass` refinement passes in ONE kernel launch.
 
     Returns (xh, xl, rh, rl) with r = b - K x the residual of the
     accepted iterate.  Equivalent to dd_ldl_solve followed by npass
     rounds of dd_residual/dd_ldl_solve/add with monotone acceptance,
     but L and K stream from HBM once instead of once per pass."""
+    blk = DD_BLOCK if block is None else block
     with jax.enable_x64(False):
-        return _cached_impl(_refine_impl, (npass, interpret),
+        return _cached_impl(_refine_impl, (npass, interpret, blk),
                             Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
 
 

@@ -33,7 +33,25 @@ from cuclarabel_tpu.parallel.batch import device_equilibrate  # noqa: E402
 from cuclarabel_tpu.settings import Settings  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-CHAIN_K = 8
+
+
+def _dispatch_floor_ms():
+    tiny = jax.jit(lambda a: a + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    np.asarray(tiny(z)[:1])
+    t0 = time.perf_counter()
+    for _ in range(30):
+        np.asarray(tiny(z)[:1])
+    return (time.perf_counter() - t0) / 30 * 1e3
+
+
+# long chains of the unrolled loop body also exceed the remote
+# compiler's request-size limit (HTTP 413, 2026-08 tunnel); its
+# dispatch floor is ~0.1 ms so chain=1 is accurate there
+if os.environ.get("KBENCH_CHAIN"):
+    CHAIN_K = int(os.environ["KBENCH_CHAIN"])
+else:
+    CHAIN_K = 8 if _dispatch_floor_ms() > 2.0 else 1
 NASS = 32
 
 A, qs, bs, cones = _portfolio_socp(nass=NASS, batch=B, seed=7)

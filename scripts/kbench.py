@@ -29,8 +29,27 @@ from cuclarabel_tpu.kkt.pallas_dd import (  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 83
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-CHAIN_K = 8
 INTERP = jax.default_backend() not in ("tpu", "axon")
+
+# Chained launches only pay when the per-dispatch floor is significant
+# next to the ~10-20 ms kernels (the 2026-08 tunnel dispatches in
+# ~0.1 ms; the older one took ~26 ms), and long unrolled chains blow
+# the remote compiler's request-size limit (HTTP 413).  Probe the floor
+# and chain only if it demands it.
+def _dispatch_floor_ms():
+    tiny = jax.jit(lambda a: a + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    np.asarray(tiny(z)[:1])
+    t0 = time.perf_counter()
+    for _ in range(30):
+        np.asarray(tiny(z)[:1])
+    return (time.perf_counter() - t0) / 30 * 1e3
+
+
+if os.environ.get("KBENCH_CHAIN"):
+    CHAIN_K = int(os.environ["KBENCH_CHAIN"])
+else:
+    CHAIN_K = 8 if (not INTERP and _dispatch_floor_ms() > 2.0) else 1
 
 rng = np.random.default_rng(0)
 n1 = N // 2
@@ -74,14 +93,26 @@ def chain_solve(Lh, Ll, Dh, Dl, bh, bl):
     return xh, xl
 
 
-def make_chain_refine(npass):
+def make_chain_solve(block):
+    @jax.jit
+    def f(Lh, Ll, Dh, Dl, bh, bl):
+        xh = xl = None
+        for _ in range(CHAIN_K):
+            xh, xl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl,
+                                  interpret=INTERP, block=block)
+            bh = bh + xh * jnp.float32(1e-30)
+        return xh, xl
+    return f
+
+
+def make_chain_refine(npass, block=None):
     @jax.jit
     def f(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl):
         xh = xl = rh = rl = None
         for _ in range(CHAIN_K):
             xh, xl, rh, rl = dd_ldl_solve_refine(
                 Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=npass,
-                interpret=INTERP)
+                interpret=INTERP, block=block)
             bh = bh + xh * jnp.float32(1e-30)
         return xh, xl, rh, rl
     return f
@@ -124,6 +155,16 @@ xh, xl = timed("solve ", chain_solve, Lh, Ll, Dh, Dl, bh0, bl0)
 timed("resid ", chain_resid, Kh0, Kl0, xh, xl, bh0, bl0)
 xr = timed("refine2", make_chain_refine(2), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
 xr1 = timed("refine1", make_chain_refine(1), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
+
+# blocked-substitution sweep (panel width): same dd ops reordered —
+# short intra-panel steps + one vectorized rank-p update per panel
+for blk in (0, 8, 16):
+    timed(f"solve_b{blk} ", make_chain_solve(blk), Lh, Ll, Dh, Dl, bh0, bl0)
+for blk in (0, 8, 16):
+    xrb = timed(f"refine2_b{blk}", make_chain_refine(2, blk),
+                Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
+    if blk:
+        xr_b = xrb  # last blocked result for the accuracy check below
 
 # ---- accuracy: compiled relres of the refined solve
 for tag, (xh_, xl_, _, _) in (("refine2", xr), ("refine1", xr1)):
