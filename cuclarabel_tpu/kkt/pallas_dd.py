@@ -299,6 +299,18 @@ def _solve_body_for(n, block):
     return _solve_kernel
 
 
+def _solve_body_r_for(n, block):
+    """Multi-RHS analog of _solve_body_for."""
+    if n > UNROLL_MAX:
+        return _solve_kernel_r_looped
+    if 0 < block < n:
+        def body(n_, *refs, _p=block):
+            return _solve_kernel_r_blocked(n_, _p, *refs)
+
+        return body
+    return _solve_kernel_r
+
+
 def _ldl_kernel_looped(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
                        dh_ref, dl_ref):
     """fori_loop dd LDL^T with masked full-width updates: constant IR in
@@ -480,6 +492,66 @@ def _solve_kernel_r(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
         h, l = dd_sub(xh_ref[j, :, :], xl_ref[j, :, :], sh, sl)
         xh_ref[j, :, :] = h
         xl_ref[j, :, :] = l
+
+
+def _solve_kernel_r_blocked(n, p, lh_ref, ll_ref, dh_ref, dl_ref,
+                            bh_ref, bl_ref, xh_ref, xl_ref):
+    """Blocked-panel multi-RHS substitution (see _solve_kernel_blocked).
+    Intra-panel steps vectorize over the RHS axis (3-D ops, the proven
+    unrolled pattern); the per-panel trailing updates unroll over the
+    small static r instead of forming rank-4 broadcasts."""
+    r = bh_ref.shape[1]
+    xh_ref[...] = bh_ref[...]
+    xl_ref[...] = bl_ref[...]
+    for s in range(0, n, p):  # forward
+        e = min(s + p, n)
+        for j in range(s + 1, e):
+            ph, pe = dd_mul(
+                lh_ref[j, s:j, :][:, None, :], ll_ref[j, s:j, :][:, None, :],
+                xh_ref[s:j, :, :], xl_ref[s:j, :, :],
+            )
+            sh, sl = dd_sum_axis0(ph, pe)  # (r, lanes)
+            h, l = dd_sub(xh_ref[j, :, :], xl_ref[j, :, :], sh, sl)
+            xh_ref[j, :, :] = h
+            xl_ref[j, :, :] = l
+        if e < n:
+            for t in range(r):
+                ph, pe = dd_mul(
+                    lh_ref[e:, s:e, :], ll_ref[e:, s:e, :],
+                    xh_ref[s:e, t, :][None, :, :],
+                    xl_ref[s:e, t, :][None, :, :],
+                )
+                sh, sl = dd_sum_axis(ph, pe, axis=1)
+                h, l = dd_sub(xh_ref[e:, t, :], xl_ref[e:, t, :], sh, sl)
+                xh_ref[e:, t, :] = h
+                xl_ref[e:, t, :] = l
+    h, l = dd_mul(xh_ref[...], xl_ref[...],
+                  dh_ref[...][:, None, :], dl_ref[...][:, None, :])
+    xh_ref[...] = h
+    xl_ref[...] = l
+    for s in reversed(range(0, n, p)):  # backward
+        e = min(s + p, n)
+        if e < n:
+            for t in range(r):
+                ph, pe = dd_mul(
+                    lh_ref[e:, s:e, :], ll_ref[e:, s:e, :],
+                    xh_ref[e:, t, :][:, None, :],
+                    xl_ref[e:, t, :][:, None, :],
+                )
+                sh, sl = dd_sum_axis0(ph, pe)  # (p, lanes)
+                h, l = dd_sub(xh_ref[s:e, t, :], xl_ref[s:e, t, :], sh, sl)
+                xh_ref[s:e, t, :] = h
+                xl_ref[s:e, t, :] = l
+        for j in range(e - 2, s - 1, -1):
+            ph, pe = dd_mul(
+                lh_ref[j + 1 : e, j, :][:, None, :],
+                ll_ref[j + 1 : e, j, :][:, None, :],
+                xh_ref[j + 1 : e, :, :], xl_ref[j + 1 : e, :, :],
+            )
+            sh, sl = dd_sum_axis0(ph, pe)
+            h, l = dd_sub(xh_ref[j, :, :], xl_ref[j, :, :], sh, sl)
+            xh_ref[j, :, :] = h
+            xl_ref[j, :, :] = l
 
 
 def _solve_kernel_r_looped(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref,
@@ -725,7 +797,7 @@ def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret,
     return (xh[..., :b0], xl[..., :b0], rh[..., :b0], rl[..., :b0])
 
 
-def _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret):
+def _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret, block=0):
     N, r = bh.shape[0], bh.shape[1]
     lanes = _lanes_for(N)
     b0 = bh.shape[-1]
@@ -734,7 +806,7 @@ def _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret):
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
     rvec = pl.BlockSpec((N, r, lanes), lambda i: (0, 0, i))
-    kern = _solve_kernel_r if N <= UNROLL_MAX else _solve_kernel_r_looped
+    kern = _solve_body_r_for(N, block)
     xh, xl = pl.pallas_call(
         functools.partial(kern, N),
         grid=(Bp // lanes,),
@@ -750,7 +822,8 @@ def _solve_impl_r(Lh, Ll, Dh, Dl, bh, bl, interpret):
     return xh[..., :b0], xl[..., :b0]
 
 
-def _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
+def _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret,
+                   block=0):
     N, r = bh.shape[0], bh.shape[1]
     lanes = _lanes_for(N)
     b0 = bh.shape[-1]
@@ -760,8 +833,7 @@ def _refine_impl_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret):
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
     rvec = pl.BlockSpec((N, r, lanes), lambda i: (0, 0, i))
-    solve_body = (_solve_kernel_r if N <= UNROLL_MAX
-                  else _solve_kernel_r_looped)
+    solve_body = _solve_body_r_for(N, block)
     xh, xl, rh, rl = pl.pallas_call(
         functools.partial(_refine_kernel_r, N, r, npass, solve_body),
         grid=(Bp // lanes,),
@@ -873,21 +945,23 @@ def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
                             Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
 
 
-def dd_ldl_solve_r(Lh, Ll, Dh, Dl, bh, bl, interpret=False):
+def dd_ldl_solve_r(Lh, Ll, Dh, Dl, bh, bl, interpret=False, block=None):
     """Multi-RHS solve: b (N, r, B) dd pair -> x (N, r, B) dd pair.
     All r systems ride one substitution chain per lane tile."""
+    blk = DD_BLOCK if block is None else block
     with jax.enable_x64(False):
-        return _cached_impl(_solve_impl_r, (interpret,),
+        return _cached_impl(_solve_impl_r, (interpret, blk),
                             Lh, Ll, Dh, Dl, bh, bl)
 
 
 def dd_ldl_solve_refine_r(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
-                          interpret=False):
+                          interpret=False, block=None):
     """Multi-RHS fused refined solve: b (N, r, B) -> (x, r) pairs with
     per-(rhs, lane) monotone acceptance.  The IPM uses r=2 to solve the
     constant-RHS (-q, b) and affine systems of one iteration in a
     single launch (kktsystem.jl:135-215's two-solve structure; both
     right-hand sides are available as soon as the factor is)."""
+    blk = DD_BLOCK if block is None else block
     with jax.enable_x64(False):
-        return _cached_impl(_refine_impl_r, (npass, interpret),
+        return _cached_impl(_refine_impl_r, (npass, interpret, blk),
                             Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
