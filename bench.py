@@ -86,7 +86,7 @@ def main():
     from cuclarabel_tpu.parallel.batch import device_equilibrate
     from cuclarabel_tpu.settings import Settings
 
-    NASS = 32  # assets; KKT dim = n + m = 33 + 50 = 83 per problem
+    NASS = 32  # assets; KKT dim = n + m = 33 + 43 = 76 per problem
     BATCH = 256
     A, qs, bs, cones = _portfolio_socp(nass=NASS, batch=BATCH, seed=7)
     n, m = qs.shape[1], bs.shape[1]
@@ -196,20 +196,14 @@ def main():
         )
 
         if chain is None:
-            # chained launches only matter when per-launch dispatch
-            # overhead is non-negligible vs the ~10-20 ms kernels (the
-            # 2026-08 tunnel dispatches in ~0.1 ms; the older one took
-            # ~26 ms).  Long unrolled chains also inflate the compile
-            # payload past the remote compiler's request-size limit
-            # (HTTP 413), so only chain when the floor demands it.
-            tiny = jax.jit(lambda a: a + 1.0)
-            z = jnp.zeros((8,), jnp.float32)
-            np.asarray(tiny(z)[:1])
-            t0 = time.perf_counter()
-            for _ in range(30):
-                np.asarray(tiny(z)[:1])
-            floor_ms = (time.perf_counter() - t0) / 30 * 1e3
-            chain = 8 if floor_ms > 2.0 else 1
+            # chained launches amortize BOTH the dispatch floor (~26 ms
+            # on the pre-2026-08 tunnel, ~0.1 ms now) and the ~2 ms
+            # host-fetch fence each timed rep needs — at chain=1 the
+            # fence alone inflates a ~13 ms kernel reading by ~15%.
+            # Chains are payload-safe since every operand is a jit
+            # argument (only closures embed as MLIR constants and trip
+            # the remote compiler's request-size limit, HTTP 413).
+            chain = 8
 
         rng = np.random.default_rng(0)
         n1, m1 = n, N - n

@@ -48,7 +48,14 @@ def test_max_time_batched():
     assert all(s.status == SolverStatus.MAX_TIME for s in sols)
 
 
-def test_max_threads_warns():
+def test_max_threads_accepted_silently():
+    # max_threads is honored (level-parallel native LDL refactorization,
+    # native/ldl.cpp) — the old "accepted for compat, no effect" warning
+    # must be gone and the setting must propagate
+    import warnings
+
     P, q, A, b, cones = _qp()
-    with pytest.warns(UserWarning, match="max_threads"):
-        Solver(P, q, A, b, cones, max_threads=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = Solver(P, q, A, b, cones, max_threads=4)
+    assert s.settings.max_threads == 4
