@@ -187,6 +187,79 @@ def _ldl_kernel(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref, dh_ref, dl_ref):
             ll_ref[j + 1 :, j + 1 :, :] = ul
 
 
+def _ldl_kernel_blocked(n, p, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
+                        dh_ref, dl_ref):
+    """Right-looking dd LDL^T by width-p panels.
+
+    The plain kernel read-modify-writes the whole trailing submatrix
+    once per pivot; panels restrict each pivot's rank-1 update to the
+    panel's own columns and apply ONE accumulated rank-p update to the
+    trailing matrix per panel — p× fewer loads/stores of the O(n²)
+    region and p× fewer large-op issues, at identical dd op count
+    (the rank-1 terms are summed in a tree before a single subtract,
+    a reordering within the same error class)."""
+    lh_ref[...] = kh_ref[...]
+    ll_ref[...] = kl_ref[...]
+    for j in range(n):
+        h, l = dd_add(lh_ref[j, j, :], ll_ref[j, j, :], reg_ref[j, :],
+                      jnp.zeros_like(reg_ref[j, :]))
+        lh_ref[j, j, :] = h
+        ll_ref[j, j, :] = l
+    for s in range(0, n, p):
+        e = min(s + p, n)
+        w_cols = []  # unscaled panel columns at rows e: (= l*d), live in SSA
+        for j in range(s, e):
+            djh = lh_ref[j, j, :]
+            djl = ll_ref[j, j, :]
+            ih, il = dd_recip(djh, djl)
+            dh_ref[j, :] = ih
+            dl_ref[j, :] = il
+            if j + 1 < n:
+                colh = lh_ref[j + 1 :, j, :]  # unscaled, fully updated
+                coll = ll_ref[j + 1 :, j, :]
+                if e < n:
+                    # read the sub-column straight from the ref: slicing
+                    # the colh VALUE lowers to an unsupported Mosaic
+                    # gather; static ref windows are fine
+                    w_cols.append((lh_ref[e:, j, :], ll_ref[e:, j, :]))
+                lch, lcl = dd_mul(colh, coll, ih[None, :], il[None, :])
+                lh_ref[j + 1 :, j, :] = lch
+                ll_ref[j + 1 :, j, :] = lcl
+                if j + 1 < e:
+                    # rank-1 update restricted to the panel's own
+                    # columns; re-read the scaled panel piece from the
+                    # ref (value slicing = gather, see above)
+                    lph = lh_ref[j + 1 : e, j, :]
+                    lpl = ll_ref[j + 1 : e, j, :]
+                    ph, pe = dd_mul(
+                        colh[:, None, :], coll[:, None, :],
+                        lph[None, :, :], lpl[None, :, :],
+                    )
+                    uh, ul = dd_sub(
+                        lh_ref[j + 1 :, j + 1 : e, :],
+                        ll_ref[j + 1 :, j + 1 : e, :], ph, pe,
+                    )
+                    lh_ref[j + 1 :, j + 1 : e, :] = uh
+                    ll_ref[j + 1 :, j + 1 : e, :] = ul
+        if e < n:
+            # one rank-p trailing update: A[e:, e:] -= sum_j w_j ⊗ l_j
+            acc_h = acc_l = None
+            for idx, j in enumerate(range(s, e)):
+                wh, wl = w_cols[idx]
+                lhj = lh_ref[e:, j, :]
+                llj = ll_ref[e:, j, :]
+                ph, pe = dd_mul(wh[:, None, :], wl[:, None, :],
+                                lhj[None, :, :], llj[None, :, :])
+                if acc_h is None:
+                    acc_h, acc_l = ph, pe
+                else:
+                    acc_h, acc_l = dd_add(acc_h, acc_l, ph, pe)
+            uh, ul = dd_sub(lh_ref[e:, e:, :], ll_ref[e:, e:, :],
+                            acc_h, acc_l)
+            lh_ref[e:, e:, :] = uh
+            ll_ref[e:, e:, :] = ul
+
+
 def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
                   xh_ref, xl_ref):
     """(L+I) D (L+I)^T x = b in dd, in-place substitutions."""
@@ -284,6 +357,20 @@ UNROLL_MAX = int(os.environ.get("CUCLARABEL_DD_UNROLL_MAX", "96"))
 # Default decided by on-chip A/B (benchmarks/ab_results/); per-call
 # `block=` overrides for experiments.
 DD_BLOCK = int(os.environ.get("CUCLARABEL_DD_BLOCK", "8"))
+
+# Factor panel width for _ldl_kernel_blocked (0 disables).
+DD_FACTOR_BLOCK = int(os.environ.get("CUCLARABEL_DD_FACTOR_BLOCK", "0"))
+
+
+def _factor_body_for(n, block):
+    if n > UNROLL_MAX:
+        return _ldl_kernel_looped
+    if 0 < block < n:
+        def body(n_, *refs, _p=block):
+            return _ldl_kernel_blocked(n_, _p, *refs)
+
+        return body
+    return _ldl_kernel
 
 
 def _solve_body_for(n, block):
@@ -690,7 +777,7 @@ def join_f64(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
-def _factor_impl(Kh, Kl, reg, interpret):
+def _factor_impl(Kh, Kl, reg, interpret, block=0):
     N = Kh.shape[0]
     lanes = _lanes_for(N)
     Khp = _pad_lanes(Kh, lanes)
@@ -700,7 +787,7 @@ def _factor_impl(Kh, Kl, reg, interpret):
     b0 = Kh.shape[-1]
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
-    kern = _ldl_kernel if N <= UNROLL_MAX else _ldl_kernel_looped
+    kern = _factor_body_for(N, block)
     Lh, Ll, Dh, Dl = pl.pallas_call(
         functools.partial(kern, N),
         grid=(Bp // lanes,),
@@ -904,13 +991,15 @@ def _cached_impl(impl, statics, *arrays):
     return fn(*arrays)
 
 
-def dd_ldl_factor(Kh, Kl, reg, interpret=False):
+def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None):
     """Batched dd LDL^T.  Kh/Kl: (N, N, B) f32 pair of the scaled,
     permuted, UNregularized quasidefinite K; reg: (N, B) signed
     regularization diagonal added internally.  Returns (Lh, Ll, Dinvh,
-    Dinvl) in the same lane-major layout (strict upper L is junk)."""
+    Dinvl) in the same lane-major layout (strict upper L is junk).
+    block: factor panel width (None = module default DD_FACTOR_BLOCK)."""
+    blk = DD_FACTOR_BLOCK if block is None else block
     with jax.enable_x64(False):
-        return _cached_impl(_factor_impl, (interpret,), Kh, Kl, reg)
+        return _cached_impl(_factor_impl, (interpret, blk), Kh, Kl, reg)
 
 
 def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False, block=None):

@@ -156,6 +156,23 @@ timed("resid ", chain_resid, Kh0, Kl0, xh, xl, bh0, bl0)
 xr = timed("refine2", make_chain_refine(2), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
 xr1 = timed("refine1", make_chain_refine(1), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
 
+# blocked-panel factor sweep: one accumulated rank-p trailing update
+# per panel instead of a rank-1 RMW of the trailing matrix per pivot
+def make_chain_factor(block):
+    @jax.jit
+    def f(Kh, Kl, reg_):
+        Lh = Ll = Dh = Dl = None
+        for _ in range(CHAIN_K):
+            Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, reg_,
+                                           interpret=INTERP, block=block)
+            Kh = Kh + Lh * jnp.float32(1e-30)
+        return Lh, Ll, Dh, Dl
+    return f
+
+
+for blk in (0, 8, 16):
+    timed(f"factor_b{blk}", make_chain_factor(blk), Kh0, Kl0, reg)
+
 # blocked-substitution sweep (panel width): same dd ops reordered —
 # short intra-panel steps + one vectorized rank-p update per panel
 for blk in (0, 8, 16):
