@@ -77,6 +77,39 @@ def test_dd_factor_solve_accuracy():
     assert err < 1e-9, err
 
 
+def test_dd_blocked_variants_match_plain():
+    """Blocked-panel factor and substitution (block=) are the same dd
+    op sets under reordered summation trees: solutions must agree with
+    the plain kernels to dd accuracy, for panel widths straddling the
+    matrix size."""
+    rng = np.random.default_rng(7)
+    B, n, m = 5, 9, 12
+    N = n + m
+    K = _make_qd(rng, B, n, m)
+    eps = 1e-8
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    b = rng.standard_normal((B, N))
+
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(
+        jnp.asarray(dsigns * eps)[:, None], (N, B)).astype(jnp.float32)
+    bh, bl = split_f64(_lane(b))
+
+    Kreg = K + (dsigns * eps) * np.eye(N)
+    x_ref = np.linalg.solve(Kreg, b[..., None])[..., 0]
+    scale = max(np.abs(x_ref).max(), 1.0)
+
+    for fblk in (0, 4, 8):
+        Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT, interpret=True,
+                                       block=fblk)
+        for sblk in (0, 4, 8, N + 5):  # N+5 > N-1 disables blocking
+            xh, xl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl,
+                                  interpret=True, block=sblk)
+            x = _unlane(join_f64(xh, xl))
+            err = np.abs(x - x_ref).max() / scale
+            assert err < 1e-9, (fblk, sblk, err)
+
+
 def test_dd_residual_accuracy():
     rng = np.random.default_rng(1)
     B, n, m = 5, 8, 9
