@@ -36,6 +36,7 @@ XLA wants.
 """
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import jax
@@ -160,8 +161,16 @@ def _choose_groups(shapes, lam=200_000):
 
 
 def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
-                       group_lambda: int = 200_000) -> NumericPlan:
-    """dsigns: (N,) quasidefinite signs in the ORIGINAL ordering."""
+                       group_lambda: int = None) -> NumericPlan:
+    """dsigns: (N,) quasidefinite signs in the ORIGINAL ordering.
+
+    group_lambda tunes the level-grouping DP's per-group penalty
+    (compile-cost model): larger -> fewer scan groups -> faster
+    compiles at more padded runtime work.  Default 200_000, overridable
+    via CUCLARABEL_SPARSE_GROUP_LAMBDA."""
+    if group_lambda is None:
+        group_lambda = int(
+            os.environ.get("CUCLARABEL_SPARSE_GROUP_LAMBDA", "200000"))
     N = sym.N
     ds_perm = np.asarray(dsigns, dtype=np.float64)[sym.perm]
 
