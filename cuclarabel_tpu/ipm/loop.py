@@ -147,9 +147,29 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
         if sparse is None:
             P, A = dev["P"], dev["A"]
-            Pmv = lambda v: P @ v
-            Amv = lambda v: A @ v
-            ATmv = lambda v: A.T @ v
+            # XLA lowers every f64 dot_general on TPU as an 8-pass
+            # emulated-matmul while loop (~2-6 ms each at B=4096; the
+            # round-3 trace showed 84 of them eating ~60% of the loop
+            # body).  Emulated f64 ELEMENTWISE ops are plain double-word
+            # arithmetic, so at the dense path's sizes a broadcast
+            # multiply + reduce is ~10x cheaper at equal accuracy.
+            # Large problems keep the dot form (the 8 bf16 MXU passes
+            # win on O(n^2)-and-up work).
+            if n + m <= 256:
+                Amv = lambda v: (A * v[None, :]).sum(-1)
+                ATmv = lambda v: (A * v[:, None]).sum(0)
+            else:
+                Amv = lambda v: A @ v
+                ATmv = lambda v: A.T @ v
+            if not has_P:
+                # P is exactly zero for LP/SOCP-form problems: skip the
+                # products entirely (they were full emulated matmuls on
+                # a zero matrix)
+                Pmv = lambda v: jnp.zeros_like(v)
+            elif n + m <= 256:
+                Pmv = lambda v: (P * v[None, :]).sum(-1)
+            else:
+                Pmv = lambda v: P @ v
         else:
             Pv, Av = dev["Pv"], dev["Av"]
             spb = dev["spbufs"]
@@ -172,17 +192,26 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                     Av * v[spb["a_rows"]], spb["a_cols"], num_segments=n
                 )
 
-        def quad(u, v):
-            return u @ Pmv(v)
+        # vector-vector dots also lower to emulated-matmul while loops
+        # at f64; multiply + reduce is the cheap double-word form
+        def vdot(u, v):
+            return (u * v).sum(-1)
+
+        if has_P:
+            def quad(u, v):
+                return vdot(u, Pmv(v))
+        else:
+            def quad(u, v):
+                return jnp.zeros((), u.dtype)
 
         # -------------------- residuals (residuals.jl:1-37)
         def residuals(v):
             x, s_, z_, tau = v["x"], v["s"], v["z"], v["tau"]
             Px = Pmv(x)
-            qx = q @ x
-            bz = b @ z_
-            sz = s_ @ z_
-            xPx = x @ Px
+            qx = vdot(q, x)
+            bz = vdot(b, z_)
+            sz = vdot(s_, z_)
+            xPx = vdot(x, Px)
             rx_inf = -ATmv(z_)
             rz_inf = Amv(x) + s_
             return {
@@ -350,11 +379,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
             xi = v["x"] / tau
             tau_num = (
                 rhs["tau"] - rhs["kappa"] / tau
-                + q @ x1 + b @ z1 + 2.0 * quad(xi, x1)
+                + vdot(q, x1) + vdot(b, z1) + 2.0 * quad(xi, x1)
             )
             xi_m = xi - x2
             tau_den = (
-                kappa / tau - q @ x2 - b @ z2
+                kappa / tau - vdot(q, x2) - vdot(b, z2)
                 + quad(xi_m, xi_m) - quad(x2, x2)
             )
             dtau = tau_num / tau_den
@@ -442,7 +471,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
                 s0 = interior(dev["ws_s"], cone_ops.PRIMAL)
                 z0 = interior(dev["ws_z"], cone_ops.DUAL)
-                mu0 = jnp.maximum((s0 @ z0) / deg1, 1e-8)
+                mu0 = jnp.maximum(vdot(s0, z0) / deg1, 1e-8)
                 return {
                     "x": dev["ws_x"],
                     "s": s0,
