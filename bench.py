@@ -102,7 +102,7 @@ def main():
 
     def solve_one(P, A_, q, b):
         b = jnp.minimum(b, get_infinity())
-        return base(device_equilibrate(P, A_, q, b, layout, settings))
+        return base(device_equilibrate(P, A_, q, b, layout, settings, has_P=False))
 
     Pz = jnp.zeros((n, n))
     Ad = jnp.asarray(A)

@@ -213,17 +213,18 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         npass_fused = max(0, min(2, ir_maxiter)) if ir_enable else 0
 
 
-        def _require_all_batched(in_batched):
-            # these rules move axis 0 of EVERY operand to the lane
-            # dim; a partially-batched call (e.g. a shared factor
-            # under vmap(..., in_axes=(None, 0, ...))) would silently
-            # misroute axes — fail loudly instead
-            if not all(in_batched):
-                raise NotImplementedError(
-                    "dd custom_vmap rules require every operand to "
-                    "carry the mapped axis; broadcast the factor "
-                    "leaves before vmapping"
-                )
+        def _ensure_batched(axis_size, in_batched, *ops):
+            # these rules move axis 0 of EVERY operand to the lane dim;
+            # a partially-batched call (e.g. the identity-scaling INIT
+            # factor when P, A and Hs0 are all shared across the batch,
+            # so only the RHS carries the mapped axis) is mathematically
+            # a broadcast — materialize it so the axis bookkeeping below
+            # stays uniform
+            return tuple(
+                op if batched
+                else jnp.broadcast_to(op, (axis_size,) + op.shape)
+                for op, batched in zip(ops, in_batched)
+            )
 
         @custom_vmap
         def _dd_factor(Ksp, regp):
@@ -240,7 +241,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_factor.def_vmap
         def _dd_factor_vmap(axis_size, in_batched, Ksp, regp):
-            _require_all_batched(in_batched)
+            Ksp, regp = _ensure_batched(axis_size, in_batched, Ksp, regp)
             KT = jnp.moveaxis(Ksp, 0, -1)  # (N, N, B) lane-major
             Kh, Kl = split_f64(KT)
             regT = jnp.moveaxis(regp, 0, -1).astype(jnp.float32)
@@ -263,7 +264,8 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_solve.def_vmap
         def _dd_solve_vmap(axis_size, in_batched, Lh, Ll, Dh, Dl, bs):
-            _require_all_batched(in_batched)
+            Lh, Ll, Dh, Dl, bs = _ensure_batched(
+                axis_size, in_batched, Lh, Ll, Dh, Dl, bs)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))
             xh, xl = dd_ldl_solve(
@@ -284,7 +286,8 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_resid.def_vmap
         def _dd_resid_vmap(axis_size, in_batched, Kh, Kl, xs, bs):
-            _require_all_batched(in_batched)
+            Kh, Kl, xs, bs = _ensure_batched(
+                axis_size, in_batched, Kh, Kl, xs, bs)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             xh, xl = split_f64(lane(xs))
             bh, bl = split_f64(lane(bs))
@@ -306,7 +309,8 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         @_dd_refsolve.def_vmap
         def _dd_refsolve_vmap(axis_size, in_batched, Kh, Kl, Lh, Ll,
                               Dh, Dl, bs):
-            _require_all_batched(in_batched)
+            Kh, Kl, Lh, Ll, Dh, Dl, bs = _ensure_batched(
+                axis_size, in_batched, Kh, Kl, Lh, Ll, Dh, Dl, bs)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))
             xh, xl, rh, rl = dd_ldl_solve_refine(
@@ -457,7 +461,8 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
 
         @_dd_solve2.def_vmap
         def _dd_solve2_vmap(axis_size, in_batched, Lh, Ll, Dh, Dl, bs):
-            _require_all_batched(in_batched)
+            Lh, Ll, Dh, Dl, bs = _ensure_batched(
+                axis_size, in_batched, Lh, Ll, Dh, Dl, bs)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))  # (N, 2, B)
             xh, xl = dd_ldl_solve_r(
@@ -479,7 +484,8 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         @_dd_refsolve2.def_vmap
         def _dd_refsolve2_vmap(axis_size, in_batched, Kh, Kl, Lh, Ll,
                                Dh, Dl, bs):
-            _require_all_batched(in_batched)
+            Kh, Kl, Lh, Ll, Dh, Dl, bs = _ensure_batched(
+                axis_size, in_batched, Kh, Kl, Lh, Ll, Dh, Dl, bs)
             lane = lambda a: jnp.moveaxis(a, 0, -1)
             bh, bl = split_f64(lane(bs))
             xh, xl, rh, rl = dd_ldl_solve_refine_r(

@@ -53,7 +53,7 @@ def build(k_corr):
 
     def solve_one(P, A_, q, b):
         b = jnp.minimum(b, get_infinity())
-        return base(device_equilibrate(P, A_, q, b, layout, settings))
+        return base(device_equilibrate(P, A_, q, b, layout, settings, has_P=False))
 
     batched = jax.jit(jax.vmap(solve_one, in_axes=(None, None, 0, 0)))
     out = batched(Pz, Ad, qd, bd)  # compile+warm

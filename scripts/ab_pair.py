@@ -46,7 +46,7 @@ def build(pair_enabled):
     base = loop_mod.make_solve_fn(layout, settings, n, m, False, jnp.float32, raw=True)
     def solve_one(P, A_, q, b):
         b = jnp.minimum(b, get_infinity())
-        return base(device_equilibrate(P, A_, q, b, layout, settings))
+        return base(device_equilibrate(P, A_, q, b, layout, settings, has_P=False))
     batched = jax.jit(jax.vmap(solve_one, in_axes=(None, None, 0, 0)))
     out = batched(Pz, Ad, qd, bd)  # compile+warm
     jax.block_until_ready(out)

@@ -69,7 +69,7 @@ bd = jnp.asarray(bs)
 
 def dev_of(P, A_, q, b):
     b = jnp.minimum(b, get_infinity())
-    return device_equilibrate(P, A_, q, b, layout, settings)
+    return device_equilibrate(P, A_, q, b, layout, settings, has_P=False)
 
 
 vdev = jax.vmap(dev_of, in_axes=(None, None, 0, 0))
