@@ -21,7 +21,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, reps=3):
+def timeit(fn, *args, reps=8):
+    """Per-execution time with the completion round-trip amortized:
+    the remote runtime's execute/fence round-trip costs ~30 ms per
+    BLOCKED dispatch of a non-trivial program (2026-08 tunnel), so a
+    fence per rep would swamp ms-scale phases.  Enqueue all reps
+    (async dispatch pipelines the round-trips; the device still
+    executes them back-to-back) and fence once."""
     import jax
 
     out = fn(*args)
@@ -29,7 +35,7 @@ def timeit(fn, *args, reps=3):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-        jax.block_until_ready(out)
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps, out
 
 
