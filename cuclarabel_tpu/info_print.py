@@ -94,7 +94,9 @@ def print_iteration_header() -> None:
 
 def print_iteration_history(hist: np.ndarray, niter: int) -> None:
     """hist rows: [pcost, dcost, gap_rel, pres, dres, ktratio, mu,
-    step, iter, ir_count, scaling].  The ir/scal columns mirror the
+    step, iter, ir_last, scaling] — slot 9 is THIS iteration's
+    refinement-pass count (ir_last; the cumulative total is the
+    solution's ir_count field).  The ir/scal columns mirror the
     reference status line's refinement-count and scaling-strategy
     fields (info_print.jl:122-160)."""
     print_iteration_header()

@@ -130,12 +130,16 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
 
     st = settings  # brevity
 
-    # multi-RHS ("pair") solves are opt-in: the round-2 interleaved A/B
-    # measured no-pair ~7% faster end-to-end on the v5e (see the
-    # kkt_pair_solve docstring in settings.py)
-    kkt_solve_pair = (
-        getattr(kkt_solve, "pair", None) if st.kkt_pair_solve else None
+    # multi-RHS ("pair") solves: None = auto — off on dense backends
+    # (the round-2/3 interleaved A/Bs measured no-pair faster there),
+    # ON for the sparse multifrontal whose latency-bound level walk is
+    # paid once for both RHS columns (see kkt_pair_solve in settings.py)
+    _pair_on = (
+        st.kkt_pair_solve
+        if st.kkt_pair_solve is not None
+        else sparse is not None
     )
+    kkt_solve_pair = getattr(kkt_solve, "pair", None) if _pair_on else None
 
     # ------------------------------------------------------------------
     def build(dev: Dict[str, jnp.ndarray]):

@@ -93,13 +93,15 @@ class NumericPlan:
     def memory_estimate_bytes(self, nnzK: int, factor_bytes: int = 4):
         """Device-memory footprint estimate of one numeric
         factorization: index maps (runtime inputs) + the unified value
-        buffer + the largest per-group stacked fronts/panels, with a
-        2x allowance for XLA temporaries/double-buffering.  Used by the
+        buffer (at the factor dtype width, with a 4x allowance — the
+        level scan's loop-carried copy, the scatter's operand/result
+        pair, and slack for XLA temporaries) + the largest per-group
+        stacked fronts/panels (2x for double-buffering).  Used by the
         HBM guard in sparse_tpu.py — a dispatch whose plan exceeds the
         budget previously CRASHED the v5e worker (round-2 N=20001
         incident) instead of failing cleanly."""
         maps = sum(a.nbytes for a in self.device_arrays().values())
-        vbuf = (nnzK + self.ubuf_size + 1) * 8
+        vbuf = (nnzK + self.ubuf_size + 1) * factor_bytes
         fronts = max(
             (g.nl * g.kq * g.fq * max(g.wq, 1) * factor_bytes
              + g.nl * g.kq * g.rq * g.rq * factor_bytes

@@ -154,15 +154,19 @@ def parse_qps(text: str, name_hint: str = "") -> QPSProblem:
                 else:
                     raise ValueError(f"COLUMNS references unknown row {rn!r}")
         elif section == "RHS":
-            # first token is the RHS set name (any), then pairs
-            for rn, val in zip(toks[1::2], toks[2::2]):
+            # odd token count => leading RHS set name (any), then
+            # (row, value) pairs; even => the common nameless dialect
+            # that omits the set name entirely
+            start = 1 if len(toks) % 2 else 0
+            for rn, val in zip(toks[start::2], toks[start + 1 :: 2]):
                 v = float(val)
                 if rn == obj_row:
                     c0 = -v
                 else:
                     rhs[rn] = v
         elif section == "RANGES":
-            for rn, val in zip(toks[1::2], toks[2::2]):
+            start = 1 if len(toks) % 2 else 0
+            for rn, val in zip(toks[start::2], toks[start + 1 :: 2]):
                 ranges[rn] = float(val)
         elif section == "BOUNDS":
             bt = toks[0].upper()

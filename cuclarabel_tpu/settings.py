@@ -93,13 +93,15 @@ class Settings:
 
     # Multi-RHS ("pair") KKT solves: fuse the constant-RHS (-q, b) and
     # affine systems — which share the factorization — into one kernel
-    # launch.  Measured end-to-end on the v5e portfolio bench
-    # (round-2 interleaved warm A/B, /tmp/ab2b.log → committed as
-    # benchmarks/ab_results/ab_pair.json): no-pair wins ~7% (2250/s vs
-    # 2100/s at B=256) — the 2-RHS substitution chain is NOT free at
-    # batch widths that already fill the VPU lanes, and the fused
-    # launch serializes work XLA otherwise overlaps.  Default off.
-    kkt_pair_solve: bool = False
+    # launch.  None = auto: OFF on the dense backends (v5e portfolio
+    # A/B, benchmarks/ab_results/ab_pair.json — no-pair wins ~3-7%;
+    # the 2-RHS substitution chain is not free at batch widths that
+    # already fill the VPU lanes, and the fused launch serializes work
+    # XLA otherwise overlaps) and ON for the device sparse multifrontal
+    # (its back-solve is a latency-bound level walk whose cost is paid
+    # ONCE for both RHS columns — the pair wiring exists there for
+    # exactly that reason).  True/False forces either way.
+    kkt_pair_solve: Optional[bool] = None
 
     # linear solver selection (mirrors the backend registry of
     # src/kktsolvers/direct-ldl/directldl_defaults.jl):

@@ -10,9 +10,12 @@ import cuclarabel_tpu as cc
 from cuclarabel_tpu.parallel.batch import BatchSolver
 
 
-def test_pair_default_off():
+def test_pair_default_auto():
+    # None = auto: resolves to off on dense backends (ab_pair.json) and
+    # on for the sparse multifrontal (latency-bound level walk shared
+    # across both RHS columns)
     s = cc.Settings()
-    assert s.kkt_pair_solve is False
+    assert s.kkt_pair_solve is None
 
 
 def test_correctors_default_off():
@@ -102,16 +105,21 @@ def test_ir_count_accumulates():
     A = np.vstack([np.array([[1.0, 1.0]]), -np.eye(2)])
     b = np.array([1.0, 0.0, 0.0])
     cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(2)]
-    solver = cc.Solver(P, q, A, b, cones)
+    # f32 factors force refinement passes EVERY iteration, so the
+    # accumulated total must strictly exceed any single iteration's
+    # count — the old bug (report only the LAST loop pass's count)
+    # fails this
+    solver = cc.Solver(P, q, A, b, cones,
+                       kkt_factor_precision="float32")
     sol = solver.solve()
     assert sol.status.name == "SOLVED"
     info = solver.get_info()
     iters = int(info["iterations"])
     assert iters > 1
-    # with iterative refinement enabled, a multi-iteration f64 solve
-    # accumulates at least one pass somewhere; the old bug reported
-    # only the LAST iteration's count
-    assert int(info["ir_count"]) >= 0
+    ir_count = int(info["ir_count"])
+    ir_last = int(info.get("ir_last", 0))
+    assert ir_count >= max(ir_last, 1)
+    assert ir_count > ir_last  # accumulation across > 1 iterations
     # linear_solver nnzL now reflects the resolved backend
     ls = info["linear_solver"]
     N = ls["kkt_dim"]

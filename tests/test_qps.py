@@ -120,6 +120,34 @@ ENDATA
     assert qps_objective(sgn_c0, sol.obj_val) == pytest.approx(r.fun, abs=1e-7)
 
 
+def test_parser_nameless_rhs_ranges():
+    """Common MPS dialect that omits the RHS/RANGES set name: 2- and
+    4-token lines must parse as (row, value) pairs, not be silently
+    dropped (a dropped RHS zeroes every bound and 'solves' the wrong
+    problem)."""
+    text = """\
+NAME NAMELESS
+ROWS
+ N  COST
+ L  CAP
+ G  MINP
+COLUMNS
+    X1  COST  1.0  CAP  1.0
+    X1  MINP  1.0
+RHS
+    CAP  10.0  MINP  1.0
+RANGES
+    CAP  3.0
+BOUNDS
+ENDATA
+"""
+    p = parse_qps(text)
+    i_cap = p.row_names.index("CAP")
+    assert (p.rl[i_cap], p.ru[i_cap]) == (7.0, 10.0)
+    i_minp = p.row_names.index("MINP")
+    assert (p.rl[i_minp], p.ru[i_minp]) == (1.0, np.inf)
+
+
 def test_parser_objsense_max():
     text = """\
 NAME MAXLP
