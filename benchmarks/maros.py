@@ -17,11 +17,14 @@ with K built from zero (equality) and nonnegative (inequality) cones,
 plus the exact optimal objective value for assertion.
 
 MM reference values (objective including the constant term):
-  HS21   -99.96               HS35    0.111111 (1/9)
-  HS35MOD 0.25                HS51    0
+  HS3    0                    HS3MOD  0
+  HS21   -99.96               HS28    0
+  HS35   0.111111 (1/9)       HS35MOD 0.25
+  HS48   0                    HS51    0
   HS52   5.32664756 (1859/349)
   HS53   4.09302326 (176/43)  HS76   -4.68181818
-  HS118  664.82045            GENHS28 0.927173567
+  HS118  664.82045            HS268   0
+  GENHS28 0.927173567
   QPTEST 4.371875             TAME    0
 
 Every transcription is numerically cross-checked against an
@@ -267,8 +270,98 @@ def tame() -> MarosProblem:
     return MarosProblem("TAME", P, q, A, b, cones, 0.0, 0.0)
 
 
-PROBLEMS = [hs21, hs35, hs35mod, hs51, hs52, hs53, hs76, hs118,
-            genhs28, qptest, tame]
+def hs3() -> MarosProblem:
+    """HS3: min x2 + 1e-5 (x2 - x1)^2 s.t. x2 >= 0.  Optimum 0 at
+    (0, 0).  Near-singular P (scale 2e-5) — an equilibration stress
+    member of the MM set."""
+    P = 2e-5 * np.array([[1.0, -1.0], [-1.0, 1.0]])
+    q = np.array([0.0, 1.0])
+    A, b, cones = _rows(eq=[], le=[(np.array([0.0, -1.0]), 0.0)])
+    return MarosProblem("HS3", P, q, A, b, cones, 0.0, 0.0)
+
+
+def hs3mod() -> MarosProblem:
+    """HS3MOD (MM modification of HS3): the (x2 - x1)^2 term at unit
+    weight — min x2 + (x2 - x1)^2 s.t. x2 >= 0.  Optimum 0 at (0, 0)."""
+    P = 2.0 * np.array([[1.0, -1.0], [-1.0, 1.0]])
+    q = np.array([0.0, 1.0])
+    A, b, cones = _rows(eq=[], le=[(np.array([0.0, -1.0]), 0.0)])
+    return MarosProblem("HS3MOD", P, q, A, b, cones, 0.0, 0.0)
+
+
+def hs28() -> MarosProblem:
+    """HS28: min (x1 + x2)^2 + (x2 + x3)^2 s.t. x1 + 2 x2 + 3 x3 = 1.
+    Optimum 0 at (0.5, -0.5, 0.5) (feasible: 0.5 - 1 + 1.5 = 1; both
+    squared terms vanish)."""
+    P = np.array([[2.0, 2.0, 0.0], [2.0, 4.0, 2.0], [0.0, 2.0, 2.0]])
+    q = np.zeros(3)
+    A, b, cones = _rows(eq=[(np.array([1.0, 2.0, 3.0]), 1.0)], le=[])
+    return MarosProblem("HS28", P, q, A, b, cones, 0.0, 0.0)
+
+
+def hs48() -> MarosProblem:
+    """HS48: min (x1-1)^2 + (x2-x3)^2 + (x4-x5)^2 s.t.
+    x1+x2+x3+x4+x5 = 5, x3 - 2(x4+x5) = -3.  Optimum 0 at the all-ones
+    point (feasible: 5 = 5, 1 - 4 = -3; every squared term vanishes)."""
+    P = np.zeros((5, 5))
+    P[0, 0] = 2.0
+    P[1, 1] = P[2, 2] = 2.0
+    P[1, 2] = P[2, 1] = -2.0
+    P[3, 3] = P[4, 4] = 2.0
+    P[3, 4] = P[4, 3] = -2.0
+    q = np.array([-2.0, 0.0, 0.0, 0.0, 0.0])
+    A, b, cones = _rows(
+        eq=[(np.ones(5), 5.0),
+            (np.array([0.0, 0.0, 1.0, -2.0, -2.0]), -3.0)],
+        le=[],
+    )
+    return MarosProblem("HS48", P, q, A, b, cones, 1.0, 0.0)
+
+
+_HS268_D = np.array([
+    [-74.0, 80.0, 18.0, -11.0, -4.0],
+    [14.0, -69.0, 21.0, 28.0, 0.0],
+    [66.0, -72.0, -5.0, 7.0, 1.0],
+    [-12.0, 66.0, -30.0, -23.0, 3.0],
+    [3.0, 8.0, -7.0, -4.0, 1.0],
+])
+_HS268_d = np.array([51.0, -61.0, -56.0, 69.0, 10.0])
+
+
+def hs268() -> MarosProblem:
+    """HS268 (= MM S268): min x'D'Dx - 2 d'Dx + d'd over 5 linear
+    inequalities.  Optimum 0 at x* = (1, 2, -1, 3, -4): the data are
+    self-consistency-checked in tests (D x* == d exactly, so the
+    unconstrained minimum is attained; g5 is active with value 0).
+    Large integer coefficients make P badly scaled (|P| up to ~2.6e4)
+    — an equilibration/accuracy stress member."""
+    D, d = _HS268_D, _HS268_d
+    P = 2.0 * (D.T @ D)
+    q = -2.0 * (D.T @ d)
+    const = float(d @ d)
+    # g >= 0 rows, written as (-g_row) x <= g_const
+    ge = [
+        (np.array([-1.0, -1.0, -1.0, -1.0, -1.0]), 5.0),
+        (np.array([10.0, 10.0, -3.0, 5.0, 4.0]), -20.0),
+        (np.array([-8.0, 1.0, -2.0, -5.0, 3.0]), 40.0),
+        (np.array([8.0, -1.0, 2.0, 5.0, -3.0]), -11.0),
+        (np.array([-4.0, -2.0, 3.0, -5.0, 1.0]), 30.0),
+    ]
+    le = [(-r, c) for r, c in ge]
+    A, b, cones = _rows(eq=[], le=le)
+    return MarosProblem("HS268", P, q, A, b, cones, const, 0.0)
+
+
+PROBLEMS = [hs3, hs3mod, hs21, hs28, hs35, hs35mod, hs48, hs51, hs52,
+            hs53, hs76, hs118, hs268, genhs28, qptest, tame]
+
+
+def obj_tol(p) -> float:
+    """Scale-aware absolute objective tolerance for asserting the
+    published optimum: a 1e-8-KKT solve's objective error floor grows
+    with the data scale (HS268's squared-distance objective carries a
+    1.4e4 constant — 2.5e-5 absolute there is ~2e-9 relative)."""
+    return max(2e-6, 2e-8 * (1.0 + abs(p.obj_const) + abs(p.obj_golden)))
 
 
 def run(verbose: bool = False):

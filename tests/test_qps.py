@@ -14,7 +14,7 @@ sys.path.insert(0, ".")
 
 import cuclarabel_tpu as cc
 from cuclarabel_tpu.qps import parse_qps, to_clarabel, qps_objective
-from benchmarks.maros import PROBLEMS
+from benchmarks.maros import PROBLEMS, obj_tol
 from benchmarks.qps_corpus import (
     grid_qp_reference, make_grid_qp_qps, maros_to_qps, solve_qps_text,
 )
@@ -35,7 +35,8 @@ def test_qps_roundtrip_maros(make, tmp_path):
     ).solve()
     assert sol.status == cc.SolverStatus.SOLVED, p.name
     obj = qps_objective(sgn_c0, sol.obj_val)
-    assert obj == pytest.approx(p.obj_golden, abs=2e-6, rel=1e-8), p.name
+    assert obj == pytest.approx(p.obj_golden, abs=obj_tol(p),
+                                rel=1e-8), p.name
 
 
 def test_grid_qp_through_sparse_solver():
