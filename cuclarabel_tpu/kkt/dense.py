@@ -23,6 +23,7 @@ TPU-first design decisions:
     *unregularized* f64 KKT operator.
 """
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -209,8 +210,14 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         permj = jnp.asarray(perm)
         # passes fused into the solve kernel launch (L and K stream from
         # HBM once for all of them); measured IR mean is 1.4 passes, so
-        # 2 fused passes leave the outer tolerance loop rarely taken
+        # 2 fused passes leave the outer tolerance loop rarely taken.
+        # CUCLARABEL_DD_NPASS overrides the fused pass count (A/B knob:
+        # npass=1 trades one always-computed solve+residual per call for
+        # more outer tolerance-loop entries).
         npass_fused = max(0, min(2, ir_maxiter)) if ir_enable else 0
+        _npass_env = os.environ.get("CUCLARABEL_DD_NPASS")
+        if _npass_env is not None and ir_enable:
+            npass_fused = max(0, min(int(_npass_env), ir_maxiter))
 
 
         def _ensure_batched(axis_size, in_batched, *ops):
