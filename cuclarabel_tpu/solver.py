@@ -336,6 +336,14 @@ class Solver:
             "nnzA": int(np.count_nonzero(self._As)),
             "nnzL": nnzL,
         }
+        if method == "pallas":
+            from .kkt.dense import resolve_dd_npass
+
+            # effective fused-refinement pass count (incl. any
+            # CUCLARABEL_DD_NPASS override active at build time)
+            self.info["linear_solver"]["dd_npass"] = resolve_dd_npass(
+                self.settings
+            )
         self.solution = DefaultSolution(
             x=x,
             z=z,

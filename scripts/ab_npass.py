@@ -42,18 +42,29 @@ qd = jnp.asarray(qs); bd = jnp.asarray(bs)
 
 
 def build(npass):
+    # pin the env var for the whole build AND the warm-up trace; restore
+    # the previous value afterwards even on exception so a later retrace
+    # (e.g. shape change) can't silently rebuild with a different npass
+    # than the variant's label
+    prev = os.environ.get("CUCLARABEL_DD_NPASS")
     os.environ["CUCLARABEL_DD_NPASS"] = str(npass)
-    base = loop_mod.make_solve_fn(layout, settings, n, m, False,
-                                  jnp.float32, raw=True)
+    try:
+        base = loop_mod.make_solve_fn(layout, settings, n, m, False,
+                                      jnp.float32, raw=True)
 
-    def solve_one(P, A_, q, b):
-        b = jnp.minimum(b, get_infinity())
-        return base(device_equilibrate(P, A_, q, b, layout, settings,
-                                       has_P=False))
+        def solve_one(P, A_, q, b):
+            b = jnp.minimum(b, get_infinity())
+            return base(device_equilibrate(P, A_, q, b, layout, settings,
+                                           has_P=False))
 
-    batched = jax.jit(jax.vmap(solve_one, in_axes=(None, None, 0, 0)))
-    out = batched(Pz, Ad, qd, bd)  # compile+warm
-    jax.block_until_ready(out)
+        batched = jax.jit(jax.vmap(solve_one, in_axes=(None, None, 0, 0)))
+        out = batched(Pz, Ad, qd, bd)  # compile+warm
+        jax.block_until_ready(out)
+    finally:
+        if prev is None:
+            del os.environ["CUCLARABEL_DD_NPASS"]
+        else:
+            os.environ["CUCLARABEL_DD_NPASS"] = prev
     st = np.asarray(out["status"])
     it = np.asarray(out["iterations"])
     print(f"npass={npass}: solved {int((st == 1).sum())}/{BATCH} "
@@ -65,7 +76,6 @@ def build(npass):
 
 f2 = build(2)
 f1 = build(1)
-del os.environ["CUCLARABEL_DD_NPASS"]
 for round_ in range(3):
     for name, f in (("npass2", f2), ("npass1", f1)):
         t0 = time.perf_counter()

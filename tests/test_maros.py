@@ -93,12 +93,15 @@ def test_maros_scipy_crosscheck(make):
         # status 8 ("positive directional derivative") is a linesearch
         # stall AT the optimum under the tight ftol — keep the value if
         # the iterate is feasible (SLSQP's fun is still the objective)
-        if all(np.all(c["fun"](r.x) >= -1e-7) for c in cons
-               if c["type"] == "ineq") and all(
-                   np.all(np.abs(c["fun"](r.x)) <= 1e-7) for c in cons
-                   if c["type"] == "eq"):
+        feasible = all(np.all(c["fun"](r.x) >= -1e-7) for c in cons
+                       if c["type"] == "ineq") and all(
+                           np.all(np.abs(c["fun"](r.x)) <= 1e-7)
+                           for c in cons if c["type"] == "eq")
+        if feasible:
             best = min(best, r.fun)
-        if r.success:
+        # only stop early on a run that both converged AND passed the
+        # feasibility filter; otherwise keep trying later starts
+        if r.success and feasible:
             break
     assert best + p.obj_const == pytest.approx(
         p.obj_golden, abs=max(5e-5, 1e-7 * (1 + abs(p.obj_golden))),
