@@ -107,6 +107,7 @@ from .modeling import (
     quad_form,
     sumsq,
 )
+from .precompile import precompile
 
 __version__ = "0.1.0"
 

@@ -359,31 +359,42 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
     def solve(fac, rx, rz) -> Tuple[jnp.ndarray, ...]:
         # extension rows carry zero RHS (kktsolver_directldl.jl:313-343)
         b = jnp.concatenate([rx, rz, jnp.zeros(2 * nx + 3 * ngx)])
-        x = _raw(fac, b)
         if not ir_enable:
+            x = _raw(fac, b)
             return (x[:n], x[n: n + m], jnp.all(jnp.isfinite(x)),
                     jnp.asarray(0))
 
         normb = _inf_norm(b)
         tol = ir_abstol + ir_reltol * normb
-        e0 = b - _kmv(fac, x)
-        norme0 = _inf_norm(e0)
-        ok0 = jnp.isfinite(norme0)
+
+        # The seed solve IS iteration 0 of the refinement loop
+        # (x=0, e=b => dx = K^-1 b), forced accepted.  Emitting the
+        # level-walking chain only inside the while body halves the
+        # chain instances of the whole IPM program (each solve site
+        # previously inlined it twice: seed + refinement body) — the
+        # sparse path's compile-time driver (~76 -> ~40 while ops in
+        # the N=3201 StableHLO).  Semantics identical to the
+        # reference's seed-then-refine (kktsolver_directldl.jl:389-449):
+        # same chain executions at runtime, same acceptance tests.
+        x0 = jnp.zeros_like(b)
 
         def cond(c):
             _, _, norme, i, stop, ok = c
-            return (~stop) & ok & (i < ir_maxiter) & (norme > tol)
+            return (i == 0) | (
+                (~stop) & ok & (i < ir_maxiter + 1) & (norme > tol)
+            )
 
         def body(c):
             xc, e, norme, i, _, _ = c
+            first = i == 0
             dx = _raw(fac, e)
             xn = xc + dx
             en = b - _kmv(fac, xn)
             normen = _inf_norm(en)
             okn = jnp.isfinite(normen)
             ratio = norme / jnp.where(normen > 0, normen, 1e-300)
-            accept = ratio > 1.0
-            keep = ratio > min(ir_stopratio, 1.2)
+            accept = first | (ratio > 1.0)
+            keep = first | (ratio > min(ir_stopratio, 1.2))
             return (
                 jnp.where(accept, xn, xc),
                 jnp.where(accept, en, e),
@@ -392,9 +403,9 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
             )
 
         x, _, norme, nir, _, okr = jax.lax.while_loop(
-            cond, body, (x, e0, norme0, 0, False, ok0)
+            cond, body, (x0, b, normb, 0, False, jnp.asarray(True))
         )
-        return x[:n], x[n: n + m], okr & jnp.isfinite(norme), nir
+        return x[:n], x[n: n + m], okr & jnp.isfinite(norme), nir - 1
 
     def solve_pair(fac, rx1, rz1, rx2, rz2):
         """Two refined solves against one factor in one level walk
@@ -404,34 +415,36 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
         b1 = jnp.concatenate([rx1, rz1, zext])
         b2 = jnp.concatenate([rx2, rz2, zext])
         bs = jnp.stack([b1, b2], axis=1)  # (Next, 2)
-        x = _raw2(fac, bs)
         if not ir_enable:
+            x = _raw2(fac, bs)
             ok = jnp.all(jnp.isfinite(x))
             return (x[:n, 0], x[n: n + m, 0], x[:n, 1], x[n: n + m, 1],
                     ok, jnp.asarray(0))
 
         normb = jnp.max(jnp.abs(bs), axis=0)  # (2,)
         tol = ir_abstol + ir_reltol * normb
-        e0 = bs - _kmv2(fac, x)
-        norme0 = jnp.max(jnp.abs(e0), axis=0)
-        ok0 = jnp.isfinite(norme0)
+
+        # seed solve folded into iteration 0 (see solve() above): both
+        # columns are "live" and force-accepted on the first trip
+        x0 = jnp.zeros_like(bs)
 
         def cond(c):
             _, _, norme, i, stop, ok = c
             live = (~stop) & ok & (norme > tol)
-            return (i < ir_maxiter) & jnp.any(live)
+            return (i == 0) | ((i < ir_maxiter + 1) & jnp.any(live))
 
         def body(c):
             xc, e, norme, i, stop, okc = c
-            live = (~stop) & okc & (norme > tol)
+            first = i == 0
+            live = first | ((~stop) & okc & (norme > tol))
             dx = _raw2(fac, e)
             xn = xc + dx
             en = bs - _kmv2(fac, xn)
             normen = jnp.max(jnp.abs(en), axis=0)
             okn = jnp.isfinite(normen)
             ratio = norme / jnp.where(normen > 0, normen, 1e-300)
-            accept = live & (ratio > 1.0)
-            keep_going = live & (ratio > min(ir_stopratio, 1.2))
+            accept = live & (first | (ratio > 1.0))
+            keep_going = live & (first | (ratio > min(ir_stopratio, 1.2)))
             am = accept[None, :]
             return (
                 jnp.where(am, xn, xc),
@@ -444,11 +457,12 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
 
         stop0 = jnp.zeros(2, dtype=bool)
         x, _, norme, nir, _, okr = jax.lax.while_loop(
-            cond, body, (x, e0, norme0, 0, stop0, ok0)
+            cond, body,
+            (x0, bs, normb, 0, stop0, jnp.ones(2, dtype=bool)),
         )
         ok = jnp.all(okr & jnp.isfinite(norme))
         return (x[:n, 0], x[n: n + m, 0], x[:n, 1], x[n: n + m, 1],
-                ok, nir)
+                ok, nir - 1)
 
     solve.pair = solve_pair
     # true structural factor size for the info surface (the reference

@@ -48,6 +48,48 @@ def test_max_time_batched():
     assert all(s.status == SolverStatus.MAX_TIME for s in sols)
 
 
+def test_max_time_sparse():
+    import scipy.sparse as sp
+
+    P, q, A, b, cones = _qp()
+    from cuclarabel_tpu.sparse_solver import SparseSolver
+
+    sol = SparseSolver(sp.csc_matrix(P), q, sp.csc_matrix(A), b, cones,
+                       time_limit=1e-9).solve()
+    assert sol.status == SolverStatus.MAX_TIME
+    assert sol.iterations == 0
+
+
+def test_max_time_batch_sparse():
+    # the t_start wiring through BatchSparseSolver (info.jl:110-115
+    # semantics through the vmapped sparse path) — VERDICT r3 #9
+    import scipy.sparse as sp
+
+    from cuclarabel_tpu.parallel import BatchSparseSolver
+
+    P, q, A, b, cones = _qp()
+    B = 3
+    qb = np.broadcast_to(q, (B, 2)).copy()
+    bb = np.broadcast_to(b, (B, 3)).copy()
+    sols = BatchSparseSolver(sp.csc_matrix(P), qb, sp.csc_matrix(A), bb,
+                             cones, time_limit=1e-9).solve()
+    assert all(s.status == SolverStatus.MAX_TIME for s in sols)
+
+
+def test_max_time_generous_batch_sparse_solves():
+    import scipy.sparse as sp
+
+    from cuclarabel_tpu.parallel import BatchSparseSolver
+
+    P, q, A, b, cones = _qp()
+    B = 3
+    qb = np.broadcast_to(q, (B, 2)).copy()
+    bb = np.broadcast_to(b, (B, 3)).copy()
+    sols = BatchSparseSolver(sp.csc_matrix(P), qb, sp.csc_matrix(A), bb,
+                             cones, time_limit=300.0).solve()
+    assert all(s.status == SolverStatus.SOLVED for s in sols)
+
+
 def test_max_threads_accepted_silently():
     # max_threads is honored (level-parallel native LDL refactorization,
     # native/ldl.cpp) — the old "accepted for compat, no effect" warning
