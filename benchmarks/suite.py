@@ -147,6 +147,48 @@ def exp_logistic(nfeat, nobs, seed):
     return _solve(f"exp-logistic-{nobs}x{nfeat}", P, q, A, b, cones)
 
 
+def genpow_family(ncones, seed):
+    """Generalized-power-cone family with an exact analytic optimum:
+    per cone i, maximize z_i subject to (w_i1, w_i2, z_i) in
+    GenPow(alpha_i) with the budget w_i1 + w_i2 = 1.  The optimum
+    allocates w proportionally to alpha (weighted AM-GM), so
+    z_i* = prod_j alpha_ij^alpha_ij and the objective is
+    -sum_i z_i* exactly.  Exercises the rank-3 expansion KKT columns
+    (coneops_genpowcone.jl semantics) at more than fixture size."""
+    rng = np.random.default_rng(seed)
+    # draw alpha from a small grid (cone params are baked into the
+    # layout — a compile per distinct alpha; the grid keeps that small)
+    grid = np.array([0.2, 0.35, 0.5, 0.65, 0.8])
+    alphas = [float(rng.choice(grid)) for _ in range(ncones)]
+    n = 3 * ncones
+    q = np.zeros(n)
+    rows, bs = [], []
+    # budget equalities first (zero cone)
+    for i in range(ncones):
+        r = np.zeros(n)
+        r[3 * i] = 1.0
+        r[3 * i + 1] = 1.0
+        rows.append(r)
+        bs.append(1.0)
+    cones = [cc.ZeroConeT(ncones)]
+    # genpow memberships: s = (w1, w2, z) in GenPow([a, 1-a], 1)
+    for i in range(ncones):
+        for j in range(3):
+            r = np.zeros(n)
+            r[3 * i + j] = -1.0
+            rows.append(r)
+            bs.append(0.0)
+        cones.append(cc.GenPowerConeT([alphas[i], 1.0 - alphas[i]], 1))
+        q[3 * i + 2] = -1.0
+    A = np.vstack(rows)
+    b = np.asarray(bs)
+    expect = -sum(
+        a ** a * (1.0 - a) ** (1.0 - a) for a in alphas
+    )
+    return _solve(f"genpow-{ncones}cones", None, q, A, b, cones,
+                  expect_obj=expect)
+
+
 def sdp_chordal_banded(nv, bw, seed):
     """min tr(C X) s.t. X_ij = M_ij on a band, X >= 0 — banded
     aggregate sparsity decomposes into a clique chain."""
@@ -266,6 +308,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument(
+        "--medium", action="store_true",
+        help="include medium grid-QP instances (N_kkt 2k-4k; minutes of "
+             "compile on remote TPU runtimes, cached afterwards)",
+    )
+    ap.add_argument(
         "--maros", default=None, metavar="DIR",
         help="solve every .qps file in DIR (the Maros-Meszaros archive "
              "layout) through the QPS reader and print one JSON line "
@@ -302,10 +349,18 @@ def main():
         portfolio_socp(32, 3),
         portfolio_socp(128, 4),
         exp_logistic(4, 10, 5),
+        genpow_family(8, 9),
         sdp_chordal_banded(12, 2, 6),
         sparse_grid_qp(16, 7),
         banded_sparse_qp(300, 3, 8),
     ]
+    if args.medium:
+        # medium grid-QP instances (AUG2D structural class) through the
+        # device multifrontal; N_kkt = 2k^2 + 1
+        results += [
+            sparse_grid_qp(32, 11),   # N = 2049
+            sparse_grid_qp(45, 12),   # N = 4051
+        ]
 
     hdr = f"{'problem':<22s} {'status':<14s} {'iters':>5s} {'warm ms':>9s} {'rprim':>9s} {'rdual':>9s}"
     print(hdr)
