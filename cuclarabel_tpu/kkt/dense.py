@@ -105,15 +105,20 @@ def resolve_kkt_method(settings, N: int) -> str:
 
 def resolve_dd_npass(settings) -> int:
     """Effective fused iterative-refinement pass count of the dd Pallas
-    engine (dd_ldl_solve_refine's `npass`).  Default: 2 passes fused into
-    the solve kernel launch (measured IR mean is 1.4 passes).  The
-    CUCLARABEL_DD_NPASS env var overrides it at build time (A/B knob);
-    the resolved value is surfaced in get_info()['linear_solver'] so the
-    semantics of a compiled solver are never silently environment-driven.
+    engine (dd_ldl_solve_refine's `npass`).  Default: 1 pass fused into
+    the solve kernel launch; the outer tolerance loop picks up the rare
+    second pass (measured IR need is ~1.4 passes — the always-computed
+    second fused pass was rejected work most calls, and the round-4
+    interleaved A/B at (83, 4096) measured npass=1 at 9.1k problems/s
+    vs 8.7k for npass=2 with identical iteration counts;
+    benchmarks/ab_results/ab_npass.json).  The CUCLARABEL_DD_NPASS env
+    var overrides it at build time (A/B knob); the resolved value is
+    surfaced in get_info()['linear_solver'] so the semantics of a
+    compiled solver are never silently environment-driven.
     """
     ir_enable = settings.iterative_refinement_enable
     ir_maxiter = settings.iterative_refinement_max_iter
-    npass = max(0, min(2, ir_maxiter)) if ir_enable else 0
+    npass = max(0, min(1, ir_maxiter)) if ir_enable else 0
     env = os.environ.get("CUCLARABEL_DD_NPASS")
     if env is not None and ir_enable:
         try:

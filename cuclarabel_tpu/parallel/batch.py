@@ -454,23 +454,31 @@ class BatchSolver:
             s1, s2 = self._stage_fns
         t = jnp.asarray(_time.time())
         outs, state = s1(*self._args, t, *ws_args)
-        # device_get may hand back read-only buffer views; stage 2
-        # results are scattered into these in place
-        out = {k: np.array(v) for k, v in jax.device_get(outs).items()}
-        rem = np.flatnonzero(out["status"] == int(SolverStatus.UNSOLVED))
-        self.last_compaction = {
-            "remainder": int(rem.size),
-            "stage1_iterations": int(np.max(out["iterations"])),
-        }
+        # fetch ONLY the status vector first (16 KB — the straggler
+        # list needs nothing else), dispatch stage 2 asynchronously,
+        # then pull the full stage-1 results while stage 2 executes.
+        # The bulk fetch is ~150 ms at B=4096 through the tunnel
+        # (~4.4 MB at ~30 MB/s) and previously serialized ahead of the
+        # stage-2 dispatch.
+        status_h = np.asarray(outs["status"])
+        rem = np.flatnonzero(status_h == int(SolverStatus.UNSOLVED))
+        outs2 = None
         if rem.size:
             # pad the straggler list to a power of two (bounded set of
             # stage-2 program shapes -> warm jit cache on re-solves);
             # padding repeats real indices, duplicates are discarded
             B2 = min(self.B, max(8, 1 << int(rem.size - 1).bit_length()))
             idx = np.resize(rem, B2).astype(np.int32)
-            out2 = jax.device_get(
-                s2(*self._args, t, jnp.asarray(idx), state, *ws_args)
-            )
+            outs2 = s2(*self._args, t, jnp.asarray(idx), state, *ws_args)
+        # device_get may hand back read-only buffer views; stage 2
+        # results are scattered into these in place
+        out = {k: np.array(v) for k, v in jax.device_get(outs).items()}
+        self.last_compaction = {
+            "remainder": int(rem.size),
+            "stage1_iterations": int(np.max(out["iterations"])),
+        }
+        if outs2 is not None:
+            out2 = jax.device_get(outs2)
             k = rem.size
             for key in out:
                 out[key][rem] = out2[key][:k]
