@@ -140,6 +140,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
         else sparse is not None
     )
     kkt_solve_pair = getattr(kkt_solve, "pair", None) if _pair_on else None
+    # the LP init's two solves are one-off and independent — with no
+    # overlap to lose (TPU cores run one kernel at a time), a 2-RHS
+    # launch shares the substitution chain's latency and beats two
+    # sequential launches even where the in-loop pair A/B said no
+    _init_pair = getattr(kkt_solve, "pair", None)
 
     # ------------------------------------------------------------------
     def build(dev: Dict[str, jnp.ndarray]):
@@ -501,7 +506,7 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                     # LP init (kktsystem.jl:101-119); the two solves
                     # share the factor — one multi-RHS launch if the
                     # backend offers it
-                    pair0 = kkt_solve_pair
+                    pair0 = _init_pair
                     if pair0 is not None:
                         x0, ms, _, z0, _, _ = pair0(
                             fac, jnp.zeros(n), b, -q, jnp.zeros(m)
