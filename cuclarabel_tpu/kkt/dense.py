@@ -97,7 +97,18 @@ def resolve_kkt_method(settings, N: int) -> str:
     method = settings.kkt_solve_method
     if method == "auto":
         if jax.default_backend() in ("tpu", "axon"):
-            method = "pallas" if N <= 128 else "inverse"
+            if N <= 128:
+                method = "pallas"
+            elif settings.kkt_factor_precision == "float32":
+                # f32: XLA's pivoted inv is available and measured
+                # fastest; refinement against f64 K recovers accuracy
+                method = "inverse"
+            else:
+                # f64 past the Pallas cap: Householder QR — the
+                # pivot-free inverse recursion loses ~8 digits on
+                # dense ill-conditioned Hs blocks (late-IPM PSD
+                # cones), QR is pivoting-free AND backward stable
+                method = "qr"
         else:
             method = "lu"
     return method
@@ -230,6 +241,7 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             dd_ldl_factor,
             dd_ldl_solve,
             dd_ldl_solve_refine,
+            dd_mul,
             dd_residual,
             join_f64,
             split_f64,
@@ -259,31 +271,31 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             )
 
         @custom_vmap
-        def _dd_factor(Ksp, regp):
-            # Ksp (N, N) f64 scaled+permuted UNregularized; regp (N,)
-            Kh, Kl = split_f64(Ksp[..., None])
+        def _dd_factor(Ksph, Kspl, regp):
+            # (Ksph, Kspl) (N, N) f32 dd pair of the scaled+permuted
+            # UNregularized K; regp (N,) f32 signed regularization
+            ex = lambda a: a[..., None]
             Lh, Ll, Dh, Dl = dd_ldl_factor(
-                Kh, Kl, regp[:, None].astype(jnp.float32), interpret=interp
+                ex(Ksph), ex(Kspl), regp[:, None], interpret=interp
             )
             ok = jnp.all(jnp.isfinite(Dh))
             # outputs squeezed to per-problem rank so the batched rule's
             # element shapes match (custom_vmap consistency requirement)
             sq = lambda a: a[..., 0]
-            return sq(Kh), sq(Kl), sq(Lh), sq(Ll), sq(Dh), sq(Dl), ok
+            return sq(Lh), sq(Ll), sq(Dh), sq(Dl), ok
 
         @_dd_factor.def_vmap
-        def _dd_factor_vmap(axis_size, in_batched, Ksp, regp):
-            Ksp, regp = _ensure_batched(axis_size, in_batched, Ksp, regp)
-            KT = jnp.moveaxis(Ksp, 0, -1)  # (N, N, B) lane-major
-            Kh, Kl = split_f64(KT)
-            regT = jnp.moveaxis(regp, 0, -1).astype(jnp.float32)
-            Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT, interpret=interp)
+        def _dd_factor_vmap(axis_size, in_batched, Ksph, Kspl, regp):
+            Ksph, Kspl, regp = _ensure_batched(
+                axis_size, in_batched, Ksph, Kspl, regp)
+            lane = lambda a: jnp.moveaxis(a, 0, -1)  # (N, N, B) lane-major
+            Lh, Ll, Dh, Dl = dd_ldl_factor(
+                lane(Ksph), lane(Kspl), lane(regp), interpret=interp)
             ok = jnp.all(jnp.isfinite(Dh), axis=0)  # (B,)
             back = lambda a: jnp.moveaxis(a, -1, 0)
             return (
-                back(Kh), back(Kl), back(Lh), back(Ll), back(Dh), back(Dl),
-                ok,
-            ), (True, True, True, True, True, True, True)
+                back(Lh), back(Ll), back(Dh), back(Dl), ok,
+            ), (True, True, True, True, True)
 
         @custom_vmap
         def _dd_solve(Lh, Ll, Dh, Dl, bs):
@@ -354,13 +366,53 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
                 jnp.moveaxis(join_f64(rh, rl), -1, 0),
             ), (True, True)
 
+        dsigns32 = dsigns.astype(_np.float32)
+
+        def _assemble_dd(P, A, Hs):
+            """Assemble the scaled unregularized K directly as a dd
+            (hi, lo) f32 pair: ONE f64 split pass, then native-f32
+            arithmetic.  The f64 version of this chain (row maxima,
+            two scaling multiplies, reg subtract — each an emulated
+            double-word pass over (B, N, N)) was ~1.5 ms of every
+            loop iteration at B=4096 (round-4 trace).  The row scaling
+            dj is a [~1e-4, 1e4] preconditioner heuristic — choosing
+            it from the f32 magnitudes changes nothing the factor's
+            2^-48 representation could see."""
+            top = jnp.concatenate([P, A.T], axis=1)
+            bot = jnp.concatenate([A, -Hs], axis=1)
+            K = jnp.concatenate([top, bot], axis=0)  # f64, unregularized
+            Kh, Kl = split_f64(K)
+
+            if reg_enable:
+                # eps = const + proportional * max |diag K|
+                # (kktsolver_directldl.jl:297-310)
+                diag_h = jnp.diagonal(Kh)
+                eps = jnp.float32(eps_const) + jnp.float32(
+                    eps_prop) * jnp.max(jnp.abs(diag_h))
+            else:
+                eps = jnp.float32(0.0)
+
+            # symmetric row-norm pre-scaling (one-shot Ruiz) of the
+            # matrix handed to the factorization; |Kreg| row maxima are
+            # approximated by max(row max |K|, eps) — identical except
+            # when the regularized diagonal entry |K_jj ± eps| would
+            # have dominated its row, where the two differ by at most
+            # 2x on a clipped heuristic
+            rn = jnp.maximum(jnp.max(jnp.abs(Kh), axis=1), eps)
+            dj32 = 1.0 / jnp.sqrt(jnp.where(rn > 1e-30, rn, 1.0))
+            s = dj32[:, None] * dj32[None, :]
+            Ksh, Ksl = dd_mul(Kh, Kl, s, jnp.zeros_like(s))
+            regdiag32 = jnp.asarray(dsigns32) * eps * dj32 * dj32
+            return Ksh, Ksl, dj32.astype(jnp.float64), regdiag32
+
         def factorize(P, A, Hs):
-            K, Ks, dj, regdiag = _assemble(P, A, Hs)
-            Ksu = Ks - jnp.diag(regdiag)  # scaled, unregularized
-            Ksp = Ksu[perm][:, perm]
-            Kh, Kl, Lh, Ll, Dh, Dl, ok = _dd_factor(Ksp, regdiag[perm])
+            Ksh, Ksl, dj, regdiag32 = _assemble_dd(P, A, Hs)
+            Ksph = Ksh[perm][:, perm]
+            Kspl = Ksl[perm][:, perm]
+            Lh, Ll, Dh, Dl, ok = _dd_factor(
+                Ksph, Kspl, regdiag32[permj])
             return {
-                "Kh": Kh, "Kl": Kl, "Lh": Lh, "Ll": Ll,
+                "Kh": Ksph, "Kl": Kspl, "Lh": Lh, "Ll": Ll,
                 "Dh": Dh, "Dl": Dl, "dj": dj,
             }, ok
 
@@ -463,6 +515,30 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
                 return dj * (fac["Kinv"] @ bs)[iperm].astype(jnp.float64)
             bs = (dj * b).astype(factor_dtype)
             return dj * (fac["Kinv"] @ bs).astype(jnp.float64)
+
+    elif method == "qr":
+
+        def factorize(P, A, Hs):
+            # Householder QR: pivoting-free AND backward stable — the
+            # f64 fallback for KKT dims past the Pallas cap on TPU
+            # (XLA has no f64 LU there).  The pivot-free block-Schur
+            # inverse loses ~8 digits on dense ill-conditioned Hs
+            # blocks (late-IPM PSD cones: observed INSUFFICIENT_
+            # PROGRESS at r_prim ~ 4e-4 on a PSD projection, round 4)
+            # because intermediate Schur complements are far worse
+            # conditioned than K itself; Householder factors touch K
+            # only through orthogonal transforms.
+            K, Ks, dj, _regdiag = _assemble(P, A, Hs)
+            Qf, Rf = jnp.linalg.qr(Ks.astype(factor_dtype))
+            ok = jnp.all(jnp.isfinite(Rf))
+            return {"Q": Qf, "R": Rf, "K": K, "dj": dj}, ok
+
+        def _raw_solve(fac, b):
+            dj = fac["dj"]
+            bs = (dj * b).astype(factor_dtype)
+            y = fac["Q"].T @ bs
+            x = jax.scipy.linalg.solve_triangular(fac["R"], y, lower=False)
+            return dj * x.astype(jnp.float64)
 
     else:
 

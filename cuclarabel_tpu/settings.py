@@ -231,8 +231,10 @@ class Settings:
             raise ValueError("kkt_factor_precision must be auto|float32|float64")
         if self.direct_solve_method not in ("auto", "dense", "qdldl", "arrow"):
             raise ValueError(f"unknown direct_solve_method {self.direct_solve_method}")
-        if self.kkt_solve_method not in ("auto", "lu", "inverse", "pallas"):
-            raise ValueError("kkt_solve_method must be auto|lu|inverse|pallas")
+        if self.kkt_solve_method not in ("auto", "lu", "inverse", "pallas",
+                                         "qr"):
+            raise ValueError(
+                "kkt_solve_method must be auto|lu|inverse|pallas|qr")
         if self.centrality_correctors < 0:
             raise ValueError("centrality_correctors must be nonnegative")
         if self.batch_compaction != -1.0 and not (
