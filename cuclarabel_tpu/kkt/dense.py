@@ -273,7 +273,13 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         @custom_vmap
         def _dd_factor(Ksph, Kspl, regp):
             # (Ksph, Kspl) (N, N) f32 dd pair of the scaled+permuted
-            # UNregularized K; regp (N,) f32 signed regularization
+            # UNregularized K; regp (N,) f32 signed regularization.
+            # K is ECHOED through the call so the batched rule hands
+            # back `back(lane(K))` — downstream solve/residual calls do
+            # `lane(fac["Kh"])` again and XLA's simplifier cancels the
+            # transpose pairs; storing the caller's (B, N, N) array
+            # directly would make every solve pay a REAL (N, N, B)
+            # transpose of both 94 MB halves
             ex = lambda a: a[..., None]
             Lh, Ll, Dh, Dl = dd_ldl_factor(
                 ex(Ksph), ex(Kspl), regp[:, None], interpret=interp
@@ -281,21 +287,22 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             ok = jnp.all(jnp.isfinite(Dh))
             # outputs squeezed to per-problem rank so the batched rule's
             # element shapes match (custom_vmap consistency requirement)
-            sq = lambda a: a[..., 0]
-            return sq(Lh), sq(Ll), sq(Dh), sq(Dl), ok
+            return Ksph, Kspl, *(a[..., 0] for a in (Lh, Ll, Dh, Dl)), ok
 
         @_dd_factor.def_vmap
         def _dd_factor_vmap(axis_size, in_batched, Ksph, Kspl, regp):
             Ksph, Kspl, regp = _ensure_batched(
                 axis_size, in_batched, Ksph, Kspl, regp)
             lane = lambda a: jnp.moveaxis(a, 0, -1)  # (N, N, B) lane-major
+            KTh, KTl = lane(Ksph), lane(Kspl)
             Lh, Ll, Dh, Dl = dd_ldl_factor(
-                lane(Ksph), lane(Kspl), lane(regp), interpret=interp)
+                KTh, KTl, lane(regp), interpret=interp)
             ok = jnp.all(jnp.isfinite(Dh), axis=0)  # (B,)
             back = lambda a: jnp.moveaxis(a, -1, 0)
             return (
+                back(KTh), back(KTl),
                 back(Lh), back(Ll), back(Dh), back(Dl), ok,
-            ), (True, True, True, True, True)
+            ), (True, True, True, True, True, True, True)
 
         @custom_vmap
         def _dd_solve(Lh, Ll, Dh, Dl, bs):
@@ -409,10 +416,10 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             Ksh, Ksl, dj, regdiag32 = _assemble_dd(P, A, Hs)
             Ksph = Ksh[perm][:, perm]
             Kspl = Ksl[perm][:, perm]
-            Lh, Ll, Dh, Dl, ok = _dd_factor(
-                Ksph, Kspl, regdiag32[permj])
+            Kh, Kl, Lh, Ll, Dh, Dl, ok = _dd_factor(
+                Ksph, Kspl, regdiag32[perm])
             return {
-                "Kh": Ksph, "Kl": Kspl, "Lh": Lh, "Ll": Ll,
+                "Kh": Kh, "Kl": Kl, "Lh": Lh, "Ll": Ll,
                 "Dh": Dh, "Dl": Dl, "dj": dj,
             }, ok
 
