@@ -241,7 +241,6 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             dd_ldl_factor,
             dd_ldl_solve,
             dd_ldl_solve_refine,
-            dd_mul,
             dd_residual,
             join_f64,
             split_f64,
@@ -376,24 +375,26 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
         dsigns32 = dsigns.astype(_np.float32)
 
         def _assemble_dd(P, A, Hs):
-            """Assemble the scaled unregularized K directly as a dd
-            (hi, lo) f32 pair: ONE f64 split pass, then native-f32
-            arithmetic.  The f64 version of this chain (row maxima,
-            two scaling multiplies, reg subtract — each an emulated
-            double-word pass over (B, N, N)) was ~1.5 ms of every
-            loop iteration at B=4096 (round-4 trace).  The row scaling
-            dj is a [~1e-4, 1e4] preconditioner heuristic — choosing
-            it from the f32 magnitudes changes nothing the factor's
-            2^-48 representation could see."""
+            """Assemble the scaled unregularized K as a dd (hi, lo) f32
+            pair with TWO emulated-f64 passes over (B, N, N) (one
+            scaling multiply + one split) instead of the previous four
+            (row maxima, two scaling multiplies, reg subtract): the row
+            maxima come from a cheap f32 cast and the regularization is
+            applied inside the factor kernel.  NB the scaled K must NOT
+            be formed by a jnp-level dd_mul: XLA(:CPU at least) breaks
+            error-free transforms in fused contexts outside Pallas
+            kernels (CLAUDE.md round-2 trap; re-hit in round 4 — the
+            'scaled K' degraded to f32, IR stalled at r_prim ~ 1e-5 and
+            solves ended ALMOST_SOLVED), so the product stays in f64
+            and is split once."""
             top = jnp.concatenate([P, A.T], axis=1)
             bot = jnp.concatenate([A, -Hs], axis=1)
             K = jnp.concatenate([top, bot], axis=0)  # f64, unregularized
-            Kh, Kl = split_f64(K)
 
             if reg_enable:
                 # eps = const + proportional * max |diag K|
                 # (kktsolver_directldl.jl:297-310)
-                diag_h = jnp.diagonal(Kh)
+                diag_h = jnp.diagonal(K).astype(jnp.float32)
                 eps = jnp.float32(eps_const) + jnp.float32(
                     eps_prop) * jnp.max(jnp.abs(diag_h))
             else:
@@ -405,12 +406,14 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             # when the regularized diagonal entry |K_jj ± eps| would
             # have dominated its row, where the two differ by at most
             # 2x on a clipped heuristic
-            rn = jnp.maximum(jnp.max(jnp.abs(Kh), axis=1), eps)
+            rn = jnp.maximum(
+                jnp.max(jnp.abs(K.astype(jnp.float32)), axis=1), eps)
             dj32 = 1.0 / jnp.sqrt(jnp.where(rn > 1e-30, rn, 1.0))
-            s = dj32[:, None] * dj32[None, :]
-            Ksh, Ksl = dd_mul(Kh, Kl, s, jnp.zeros_like(s))
+            dj = dj32.astype(jnp.float64)
+            Ks = K * (dj[:, None] * dj[None, :])  # one emulated-f64 pass
+            Ksh, Ksl = split_f64(Ks)
             regdiag32 = jnp.asarray(dsigns32) * eps * dj32 * dj32
-            return Ksh, Ksl, dj32.astype(jnp.float64), regdiag32
+            return Ksh, Ksl, dj, regdiag32
 
         def factorize(P, A, Hs):
             Ksh, Ksl, dj, regdiag32 = _assemble_dd(P, A, Hs)
