@@ -172,17 +172,23 @@ def main():
     # honest resource is VPU f32 op issue.  Actual f32 ops per problem
     # per iteration, from the kernel structure (pallas_dd.py):
     #   dd factor (triangle-restricted trailing updates): 28 * N^3 / 3
-    #   each fused refined solve (npass=2): 3 substitution sweeps +
-    #     3 residual matvecs  ~ 6 * 28 * N^2;  3 launches per iteration
+    #   each fused refined solve: (1+npass) substitution sweeps +
+    #     (npass+1) residual matvecs, 28 * N^2 f32 each; 3 launches/iter
     # Isolated-kernel cross-check (scripts/kbench.py, B=4096 warm):
     # factor 17.95 ms -> 1.22 Top/s = 31.6% of VPU peak; fused refine
     # 10.57 ms -> 11.6% (substitution chains are latency-bound — see
     # docs/performance.md for the dependency-depth floor).
     it_mean = float(iters.mean())
     nir_per_iter = float(nir_total.mean()) / max(it_mean, 1.0)
+    from cuclarabel_tpu.kkt.dense import resolve_dd_npass
+
+    # each fused refined solve: (1 + npass) substitution sweeps +
+    # (npass + 1) residual matvecs, each ~28*N^2 f32 ops
+    _npass = resolve_dd_npass(settings)
+    _refine_passes = (1 + _npass) + (_npass + 1)
     f32_per_iter = (
-        28.0 * N**3 / 3.0            # dd factor
-        + 3.0 * 6.0 * 28.0 * N**2    # 3 fused refined solves
+        28.0 * N**3 / 3.0                      # dd factor
+        + 3.0 * _refine_passes * 28.0 * N**2   # 3 fused refined solves
         + 28.0 * 2.0 * m * n         # A-products (emulated f64 ~ dd cost)
     )
     total_f32 = BATCH * it_mean * f32_per_iter
@@ -209,6 +215,9 @@ def main():
         from cuclarabel_tpu.kkt.pallas_dd import (
             dd_ldl_factor, dd_ldl_solve_refine, split_f64,
         )
+        from cuclarabel_tpu.kkt.dense import resolve_dd_npass
+
+        npk = resolve_dd_npass(settings)
 
         if chain is None:
             # chained launches amortize BOTH the dispatch floor (~26 ms
@@ -261,7 +270,7 @@ def main():
             out = None
             for _ in range(chain):
                 out = dd_ldl_solve_refine(Kh_, Kl_, Lh_, Ll_, Dh_, Dl_,
-                                          bh_, bl_, npass=2)
+                                          bh_, bl_, npass=npk)
                 bh_ = bh_ + out[0] * jnp.float32(1e-30)
             return out
 
@@ -279,7 +288,7 @@ def main():
         f_ms = t3(chain_factor, Kh, Kl, regk)
         r_ms = t3(chain_refine, Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
         f_ops = 28.0 * N**3 / 3.0 * Bk
-        r_ops = 6.0 * 28.0 * N**2 * Bk
+        r_ops = (2.0 * npk + 2.0) * 28.0 * N**2 * Bk
         return {
             "factor_ms": round(f_ms, 2),
             "refine_ms": round(r_ms, 2),
