@@ -312,6 +312,13 @@ def main():
                           kkt_solve_method="pallas")
     sols2 = solver2.solve()  # compile + warm (both stages)
     n_bad = sum(1 for s in sols2 if s.status.name != "SOLVED")
+    # the remote runtime runs the first executions of a fresh program
+    # up to ~2x slow — burn two more warm reps before timing (the
+    # round-4 run without these read 5.1k/s with reps still climbing
+    # toward the interleaved-A/B 9k/s figure)
+    for r in range(2):
+        solver2.update_data(q=qs2 * (1.0 - 1e-9 * (r + 1)))
+        solver2.solve()
     rep2 = []
     for r in range(3):
         solver2.update_data(q=qs2 * (1.0 + 1e-9 * (r + 1)))
