@@ -327,6 +327,30 @@ def main():
         rep2.append(time.perf_counter() - t0)
     thr2 = B2 / float(np.median(rep2))
 
+    # device-side figure at the same width: the staged number above
+    # includes downloading every solution through the runtime link —
+    # measured at ~350 ms for ~4 MB on the 2026-08 tunnel (~11 MB/s,
+    # independent of array count), which caps the e2e readout however
+    # fast the chip is.  The raw fused loop timed with a completion
+    # fence only (the same protocol as the B=256 headline) is the
+    # number that survives on non-tunneled hardware.
+    qd2 = jnp.asarray(qs2)
+    bd2 = jnp.asarray(bs2)
+    batched2 = jax.jit(jax.vmap(solve_one, in_axes=(None, None, 0, 0)))
+    out2r = batched2(Pz, Ad, qd2, bd2)
+    jax.block_until_ready(out2r)
+    assert int(np.asarray(out2r["status"]).sum()) == B2  # all SOLVED
+    for r in range(2):
+        jax.block_until_ready(
+            batched2(Pz, Ad, qd2 * (1.0 - 1e-9 * (r + 1)), bd2))
+    rep2r = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            batched2(Pz, Ad, qd2 * (1.0 + 1e-9 * (r + 1)), bd2))
+        rep2r.append(time.perf_counter() - t0)
+    thr2_dev = B2 / float(np.median(rep2r))
+
     print(
         json.dumps(
             {
@@ -369,6 +393,14 @@ def main():
                     "compaction": getattr(solver2, "last_compaction", None),
                     "not_solved": n_bad,
                     "rep_throughputs": [round(B2 / s, 1) for s in rep2],
+                    "device_side_value": round(thr2_dev, 1),
+                    "device_side_note": (
+                        "raw fused loop, completion fence only (same "
+                        "protocol as the headline) — the staged value "
+                        "includes a ~4 MB solution download at the "
+                        "tunnel's ~11-30 MB/s, which is a runtime-link "
+                        "property, not solver time"
+                    ),
                 },
             }
         )
