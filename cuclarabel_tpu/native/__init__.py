@@ -153,13 +153,17 @@ class LDLFactor:
         self.Dinv = np.zeros(self.n)
         self._head = np.zeros(self.n, dtype=np.int64)
 
-        # thread count: 0 = auto (parallelize only when the factor is
-        # big enough that per-level fan-out beats thread overhead);
-        # the reference forwards max_threads to its multithreaded LDL
-        # backends the same way (settings.jl:108-110)
+        # thread count: 0 = auto.  Measured (round 4,
+        # benchmarks/ab_results/native_threads.json): the level-parallel
+        # sweep shows NO speedup on grid-KKT classes up to N=20001 on a
+        # 4-core host — the left-looking column gathers are memory-bound
+        # and the per-level barrier eats what little remains — so auto
+        # stays sequential until the kernel is supernodal/blocked.  An
+        # explicit max_threads > 1 is still honored (the reference
+        # forwards max_threads to its multithreaded LDL backends the
+        # same way, settings.jl:108-110).
         if max_threads == 0:
-            auto_on = self.nnzL >= 200_000
-            max_threads = min(os.cpu_count() or 1, 8) if auto_on else 1
+            max_threads = 1
         self.nthreads = max(1, int(max_threads))
         if self.nthreads > 1:
             # etree levels: parent > child always, so one ascending
