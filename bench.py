@@ -394,6 +394,12 @@ def main():
                     "not_solved": n_bad,
                     "rep_throughputs": [round(B2 / s, 1) for s in rep2],
                     "device_side_value": round(thr2_dev, 1),
+                    # whole-solve f32-op rate over VPU peak at the
+                    # width that actually fills the chip (the headline
+                    # B=256 runs only 2 lane-tiles wide)
+                    "e2e_vpu_pct": round(
+                        100.0 * thr2_dev * it_mean * f32_per_iter
+                        / (V5E_VPU_F32_TOPS * 1e12), 2),
                     "device_side_note": (
                         "raw fused loop, completion fence only (same "
                         "protocol as the headline) — the staged value "
