@@ -187,6 +187,75 @@ def _ldl_kernel(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref, dh_ref, dl_ref):
             ll_ref[j + 1 :, j + 1 :, :] = ul
 
 
+def _ldl_kernel_aligned(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
+                        dh_ref, dl_ref):
+    """_ldl_kernel with the trailing update's COLUMN offset aligned to
+    the 8-sublane tile boundary.
+
+    Mosaic tiles the last two axes (cols, lanes) of the (rows, cols,
+    lanes) refs in (8, 128) vregs, so a trailing window starting at
+    column j+1 has a sublane offset 7 of 8 pivots — every op on it
+    lowers with per-vreg rotates/masks.  This variant widens the window
+    to columns c0 = 8*floor((j+1)/8).. and zeroes the first j+1-c0
+    entries of the scaled-column factor instead: finalized columns in
+    c0..j receive an exactly-zero update (written back unchanged), the
+    ops are tile-aligned, and the extra arithmetic is <= 7 columns per
+    pivot.  Row offsets are the untiled outer axis — exact slices stay.
+
+    MEASURED NO WIN (round 4, (83, 4096) on v5e): 19.4 ms vs 18.0 ms
+    plain — the per-pivot mask generation and <= 7 extra dd columns
+    cost more than Mosaic's handling of the sublane offset saves.
+    Kept behind CUCLARABEL_DD_ALIGN=1 as the documented experiment
+    (same conclusion class as the blocked-panel factor, ab_block.json).
+    """
+    lanes = kh_ref.shape[-1]
+    lh_ref[...] = kh_ref[...]
+    ll_ref[...] = kl_ref[...]
+    for j in range(n):
+        h, l = dd_add(lh_ref[j, j, :], ll_ref[j, j, :], reg_ref[j, :],
+                      jnp.zeros_like(reg_ref[j, :]))
+        lh_ref[j, j, :] = h
+        ll_ref[j, j, :] = l
+    for j in range(n):
+        djh = lh_ref[j, j, :]
+        djl = ll_ref[j, j, :]
+        ih, il = dd_recip(djh, djl)
+        dh_ref[j, :] = ih
+        dl_ref[j, :] = il
+        if j + 1 < n:
+            c0 = ((j + 1) // 8) * 8
+            # rows c0.. of column j give the cols-axis factor of the
+            # rank-1 update; entries c0..j are masked to zero so the
+            # finalized columns c0..j (and the pivot column) are
+            # written back unchanged by the aligned update
+            cwh = lh_ref[c0:, j, :]          # (n-c0, lanes)
+            cwl = ll_ref[c0:, j, :]
+            lwh, lwl = dd_mul(cwh, cwl, ih[None, :], il[None, :])
+            if c0 <= j:
+                msk = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (n - c0, 1), 0) >= (j + 1 - c0)
+                ).astype(cwh.dtype)
+                lwh = lwh * msk
+                lwl = lwl * msk
+            # scaled column store (narrow op; rows axis is untiled)
+            lh_ref[j + 1 :, j, :] = lwh[j + 1 - c0 :]
+            ll_ref[j + 1 :, j, :] = lwl[j + 1 - c0 :]
+            # trailing update on the cols-aligned window
+            colh = cwh[j + 1 - c0 :]          # rows j+1.. (exact)
+            coll = cwl[j + 1 - c0 :]
+            ph, pe = dd_mul(
+                colh[:, None, :], coll[:, None, :],
+                lwh[None, :, :], lwl[None, :, :],
+            )
+            uh, ul = dd_sub(
+                lh_ref[j + 1 :, c0:, :], ll_ref[j + 1 :, c0:, :],
+                ph, pe,
+            )
+            lh_ref[j + 1 :, c0:, :] = uh
+            ll_ref[j + 1 :, c0:, :] = ul
+
+
 def _ldl_kernel_blocked(n, p, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
                         dh_ref, dl_ref):
     """Right-looking dd LDL^T by width-p panels.
@@ -370,6 +439,8 @@ def _factor_body_for(n, block):
             return _ldl_kernel_blocked(n_, _p, *refs)
 
         return body
+    if os.environ.get("CUCLARABEL_DD_ALIGN", "0") == "1":
+        return _ldl_kernel_aligned
     return _ldl_kernel
 
 
