@@ -55,6 +55,34 @@ def test_qr_matches_lu_on_qp():
     assert np.allclose(s1.x, s2.x, atol=1e-8)
 
 
+def test_qr_random_sweep():
+    """Randomized LP/QP/SOCP mix through the qr backend: first-
+    principles residual checks (the backend must be a drop-in for lu)."""
+    rng = np.random.default_rng(7)
+    for t in range(12):
+        n = int(rng.integers(4, 16))
+        F = rng.standard_normal((n, max(2, n // 2)))
+        P = F @ F.T + 0.1 * np.eye(n) if t % 3 else None
+        q = rng.standard_normal(n)
+        rows = [np.ones((1, n)), -np.eye(n)]
+        b = np.concatenate([[1.0], np.zeros(n)])
+        cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(n)]
+        if t % 2:
+            G = rng.standard_normal((3, n)) / 3.0
+            soc = np.vstack([np.zeros((1, n)), -G])
+            rows.append(soc)
+            b = np.concatenate([b, [1.5], np.zeros(3)])
+            cones.append(cc.SecondOrderConeT(4))
+        A = np.vstack(rows)
+        sol = cc.Solver(P, q, A, b, cones, kkt_solve_method="qr").solve()
+        assert sol.status == cc.SolverStatus.SOLVED, (t, sol.status)
+        rp = np.abs(A @ sol.x + sol.s - b).max()
+        Pd = P if P is not None else np.zeros((n, n))
+        rd = np.abs(Pd @ sol.x + q + A.T @ sol.z).max()
+        scale = 1 + np.abs(sol.x).max()
+        assert rp < 1e-7 * scale and rd < 1e-7 * scale, (t, rp, rd)
+
+
 def test_auto_resolution_f64_large_on_tpu_is_qr(monkeypatch):
     from cuclarabel_tpu.kkt.dense import resolve_kkt_method
     from cuclarabel_tpu.settings import Settings
