@@ -125,9 +125,13 @@ def main():
         jax.block_until_ready(batched(Pz, Ad, qd * (1.0 - 1e-9 * (r + 1)), bd))
         jax.block_until_ready(single(Pz, Ad, qd[r + 1], bd[r + 1]))
 
-    # ---- interleaved warm measurement: batched rep then a sequential
-    # block, alternating within one process (inputs perturbed so no
-    # layer memoizes); vs_baseline = median/median of the SAME session
+    # ---- interleaved warm measurement, both arms PIPELINED: enqueue
+    # every reap's dispatch asynchronously and fence once (a serving
+    # pipeline never round-trips between independent solves; the
+    # dispatch+fence round-trip through a remote runtime is 25-60 ms —
+    # at B=256 that's 3/4 of a per-dispatch measurement, round-4 trace:
+    # device-busy is 1.68 ms/iter while the sync wall reads ~5 ms/iter).
+    # Per-dispatch (sync) numbers are reported alongside.
     reps = 5
     seq_block = 8  # 5 * 8 = 40 sequential solves (>= 32)
     rep_s, seq_s = [], []
@@ -144,9 +148,32 @@ def main():
             jax.block_until_ready(o)
             si += 1
         seq_s.append((time.perf_counter() - t0) / seq_block)
-    batched_s = float(np.median(rep_s))
+    batched_sync_s = float(np.median(rep_s))
+    seq_sync_throughput = 1.0 / float(np.median(seq_s))
+
+    # pipelined: R async dispatches, one fence; interleave the arms
+    pipe_b, pipe_s = [], []
+    for round_ in range(3):
+        t0 = time.perf_counter()
+        outs = [
+            batched(Pz, Ad, qd * (1.0 + 1e-9 * (10 + round_ * reps + r)), bd)
+            for r in range(reps)
+        ]
+        jax.block_until_ready(outs)
+        pipe_b.append((time.perf_counter() - t0) / reps)
+
+        t0 = time.perf_counter()
+        outs = [
+            single(Pz, Ad, qd[(si + k) % BATCH] * (1.0 + 1e-9 * (si + k)),
+                   bd[(si + k) % BATCH])
+            for k in range(seq_block)
+        ]
+        jax.block_until_ready(outs)
+        pipe_s.append((time.perf_counter() - t0) / seq_block)
+        si += seq_block
+    batched_s = float(np.median(pipe_b))
     throughput = BATCH / batched_s
-    seq_throughput = 1.0 / float(np.median(seq_s))
+    seq_throughput = 1.0 / float(np.median(pipe_s))
 
     # ---- single-solve latency decomposition (VERDICT r3 #5): measure
     # the runtime's per-program round-trip (dispatch + completion
@@ -344,11 +371,15 @@ def main():
         jax.block_until_ready(
             batched2(Pz, Ad, qd2 * (1.0 - 1e-9 * (r + 1)), bd2))
     rep2r = []
-    for r in range(3):
+    for round_ in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            batched2(Pz, Ad, qd2 * (1.0 + 1e-9 * (r + 1)), bd2))
-        rep2r.append(time.perf_counter() - t0)
+        outs = [
+            batched2(Pz, Ad, qd2 * (1.0 + 1e-9 * (3 * round_ + r + 1)),
+                     bd2)
+            for r in range(3)
+        ]
+        jax.block_until_ready(outs)
+        rep2r.append((time.perf_counter() - t0) / 3)
     thr2_dev = B2 / float(np.median(rep2r))
 
     print(
@@ -356,13 +387,22 @@ def main():
             {
                 "metric": (
                     f"portfolio SOCP batch={BATCH} nass={NASS} "
-                    f"(mean {it_mean:.1f} IPM iters) solve throughput"
+                    f"(mean {it_mean:.1f} IPM iters) pipelined solve "
+                    "throughput"
                 ),
                 "value": round(throughput, 3),
                 "unit": "problems/s",
                 "vs_baseline": round(throughput / seq_throughput, 3),
                 "seq_problems_per_s": round(seq_throughput, 2),
-                "single_solve_ms": round(1e3 / seq_throughput, 2),
+                "sync_value": round(BATCH / batched_sync_s, 3),
+                "sync_note": (
+                    "per-dispatch (fence-per-solve) numbers; the "
+                    "pipelined figures enqueue all reps and fence once "
+                    "— continuous-load serving behavior.  The gap is "
+                    "the remote runtime's 25-60 ms dispatch+fence "
+                    "round-trip, not solver time"
+                ),
+                "single_solve_ms": round(1e3 / seq_sync_throughput, 2),
                 "dispatch_floor_ms": round(dispatch_floor_ms, 3),
                 "single_solve_note": (
                     "single-solve wall = runtime round-trip floor + "
@@ -386,7 +426,9 @@ def main():
                     100.0 * tflops / V5E_VPU_F32_TOPS, 2),
                 "ir_per_iter": round(nir_per_iter, 3),
                 "ipm_iters_per_s": round(BATCH * it_mean / batched_s, 1),
-                "rep_throughputs": [round(BATCH / s, 1) for s in rep_s],
+                "rep_throughputs": [round(BATCH / s, 1) for s in pipe_b],
+                "sync_rep_throughputs": [
+                    round(BATCH / s, 1) for s in rep_s],
                 "b4096": {
                     "value": round(thr2, 1),
                     "unit": "problems/s",
