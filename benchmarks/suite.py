@@ -190,33 +190,38 @@ def genpow_family(ncones, seed):
 
 
 def sdp_chordal_banded(nv, bw, seed):
-    """min tr(C X) s.t. X_ij = M_ij on a band, X >= 0 — banded
-    aggregate sparsity decomposes into a clique chain."""
+    """min tr(C X) s.t. X_ij = M_ij on the off-diagonal band, X psd-
+    completable — the cone rows touch ONLY the band's svec entries
+    (variables = band entries), so the aggregate sparsity is banded and
+    chordal decomposition splits the cone into a clique chain.  (An
+    earlier version added a row per svec entry, which makes the
+    aggregate dense and silently skips decomposition.)"""
     rng = np.random.default_rng(seed)
     sd = nv * (nv + 1) // 2
-    q = np.zeros(sd)
-    rows = []
-    bs = []
+    band_idx, diag_flag = [], []
     a = 0
-    diagd = []
     for j in range(nv):
         for i in range(j + 1):
             if j - i <= bw:
-                r = np.zeros(sd)
-                r[a] = 1.0
-                rows.append(r)
-                val = 1.0 if i == j else 0.3 / (1 + j - i)
-                bs.append(val * (1.0 if i == j else np.sqrt(2.0)))
-            if i == j:
-                diagd.append(a)
+                band_idx.append(a)
+                diag_flag.append(i == j)
             a += 1
-    # objective: tr(C X) with random diagonal C
-    cdiag = rng.random(nv) + 0.5
-    for k, a_ in enumerate(diagd):
-        q[a_] = cdiag[k]
+    ny = len(band_idx)
+    q = np.zeros(ny)
+    rows, bs = [], []
+    for t in range(ny):
+        if diag_flag[t]:
+            q[t] = rng.random() + 0.5       # tr(C X) on the diagonal
+        else:
+            r = np.zeros(ny)
+            r[t] = 1.0
+            rows.append(r)
+            bs.append(0.3 * np.sqrt(2.0) * (0.5 + 0.1 * (t % 5)))
     meq = len(rows)
-    A = np.vstack([np.vstack(rows), np.eye(sd)])
-    A[meq:] = -A[meq:]
+    Apsd = np.zeros((sd, ny))
+    for t, bi in enumerate(band_idx):
+        Apsd[bi, t] = -1.0
+    A = np.vstack([np.vstack(rows), Apsd])
     b = np.concatenate([np.asarray(bs), np.zeros(sd)])
     cones = [cc.ZeroConeT(meq), cc.PSDTriangleConeT(nv)]
     return _solve(

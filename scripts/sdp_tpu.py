@@ -33,6 +33,11 @@ def run():
 
     def record(name, solver_args, solver_kwargs, check):
         s = cc.Solver(*solver_args, **solver_kwargs)
+        ncl = (
+            sum(sp_.sntree.n_cliques
+                for sp_ in s.chordal_info.spatterns)
+            if s.chordal_info is not None else 0
+        )
         t0 = time.perf_counter()
         sol = s.solve()
         cold = time.perf_counter() - t0
@@ -48,6 +53,7 @@ def run():
             "obj": sol.obj_val,
             "r_prim": sol.r_prim,
             "r_dual": sol.r_dual,
+            "chordal_cliques": ncl,
         }
         rec.update(check(sol))
         out["cases"].append(rec)
@@ -84,29 +90,42 @@ def run():
 
     # ---- chordal: banded SDP (clique chain).  nv=52, bw=2 -> ~50
     # cliques after merge; compact decomposition + dual completion.
+    # NB the cone rows must touch ONLY the band's svec entries — a row
+    # per svec entry (e.g. -I) makes the aggregate sparsity dense and
+    # chordal_info comes back None (the round-4 first version of this
+    # script had that flaw: its "chordal" case solved the full cone).
+    # Variables are the band entries; equalities pin the off-diagonal
+    # band to data; the diagonal stays free with a trace objective.
     nv = 52
     bw = 2
     rng = np.random.default_rng(1)
     sd = nv * (nv + 1) // 2
-    q = np.zeros(sd)
-    rows, bs_, diagd = [], [], []
+    band_idx, diag_flag = [], []
     a = 0
     for j in range(nv):
         for i in range(j + 1):
             if j - i <= bw:
-                r = np.zeros(sd)
-                r[a] = 1.0
-                rows.append(r)
-                val = 1.0 if i == j else 0.3 / (1 + j - i)
-                bs_.append(val * (1.0 if i == j else np.sqrt(2.0)))
-            if i == j:
-                diagd.append(a)
+                band_idx.append(a)
+                diag_flag.append(i == j)
             a += 1
-    cdiag = rng.random(nv) + 0.5
-    for t, a_ in enumerate(diagd):
-        q[a_] = cdiag[t]
+    ny = len(band_idx)
+    qy = np.zeros(ny)
+    rows, bs_ = [], []
+    for t in range(ny):
+        if diag_flag[t]:
+            qy[t] = 0.5 + rng.random()      # tr(C X) on the diagonal
+        else:
+            r = np.zeros(ny)
+            r[t] = 1.0
+            rows.append(r)
+            j_minus_i = 1 if t else 0
+            rows_val = 0.3 * np.sqrt(2.0)
+            bs_.append(rows_val * (0.5 + 0.1 * (t % 5)))
     meq = len(rows)
-    A = np.vstack([np.vstack(rows), -np.eye(sd)])
+    Apsd = np.zeros((sd, ny))
+    for t, bi in enumerate(band_idx):
+        Apsd[bi, t] = -1.0
+    A = np.vstack([np.vstack(rows), Apsd])
     b = np.concatenate([np.asarray(bs_), np.zeros(sd)])
     cones = [cc.ZeroConeT(meq), cc.PSDTriangleConeT(nv)]
 
@@ -126,13 +145,47 @@ def run():
 
     record(
         f"sdp-chordal-banded-nv{nv}",
-        (None, q, A, b, cones),
+        (None, qy, A, b, cones),
         dict(chordal_decomposition_enable=True,
              chordal_decomposition_merge_method="clique_graph",
              chordal_decomposition_compact=True,
              chordal_decomposition_complete_dual=True),
         check_chordal,
     )
+
+    # ---- same decomposed SDP through the SPARSE path: chordal
+    # decomposition composes with SparseSolver so the clique-sized PSD
+    # blocks ride the device multifrontal end-to-end
+    import scipy.sparse as sp
+
+    from cuclarabel_tpu.sparse_solver import SparseSolver
+
+    s = SparseSolver(
+        None, qy, sp.csc_matrix(A), b, cones,
+        chordal_decomposition_enable=True,
+        chordal_decomposition_merge_method="clique_graph",
+        chordal_decomposition_compact=True,
+        chordal_decomposition_complete_dual=True,
+    )
+    t0 = time.perf_counter()
+    sol = s.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = s.solve()
+    warm = time.perf_counter() - t0
+    rec = {
+        "name": f"sdp-chordal-banded-nv{nv}-sparse-multifrontal",
+        "status": sol.status.name,
+        "iterations": sol.iterations,
+        "cold_s": round(cold, 2),
+        "warm_s": round(warm, 4),
+        "obj": sol.obj_val,
+        "r_prim": sol.r_prim,
+        "r_dual": sol.r_dual,
+    }
+    rec.update(check_chordal(sol))
+    out["cases"].append(rec)
+    print(json.dumps(rec), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", "benchmarks", "ab_results", "sdp_tpu.json")
