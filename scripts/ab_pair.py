@@ -25,7 +25,8 @@ from cuclarabel_tpu.ipm import loop as loop_mod
 from cuclarabel_tpu.parallel.batch import device_equilibrate
 from cuclarabel_tpu.settings import Settings
 
-NASS, BATCH = 32, 256
+NASS = 32
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 A, qs, bs, cones = _portfolio_socp(nass=NASS, batch=BATCH, seed=7)
 n, m = qs.shape[1], bs.shape[1]
 layout = build_layout(tuple(cones_collapsed(cones)))
