@@ -438,7 +438,13 @@ def main():
                     "device_side_value": round(thr2_dev, 1),
                     # whole-solve f32-op rate over VPU peak at the
                     # width that actually fills the chip (the headline
-                    # B=256 runs only 2 lane-tiles wide)
+                    # B=256 runs only 2 lane-tiles wide).  NB this is a
+                    # WORK-RATE metric: flipping the refinement default
+                    # to npass=1 (same accuracy, ~6% faster) REMOVED
+                    # ~17% of the credited ops, so the same hardware
+                    # utilization reads lower than the npass=2-era
+                    # number would — the npass=2-equivalent figure is
+                    # e2e_vpu_pct * (2*2+2)/(2*1+2)
                     "e2e_vpu_pct": round(
                         100.0 * thr2_dev * it_mean * f32_per_iter
                         / (V5E_VPU_F32_TOPS * 1e12), 2),

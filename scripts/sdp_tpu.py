@@ -118,9 +118,7 @@ def run():
             r = np.zeros(ny)
             r[t] = 1.0
             rows.append(r)
-            j_minus_i = 1 if t else 0
-            rows_val = 0.3 * np.sqrt(2.0)
-            bs_.append(rows_val * (0.5 + 0.1 * (t % 5)))
+            bs_.append(0.3 * np.sqrt(2.0) * (0.5 + 0.1 * (t % 5)))
     meq = len(rows)
     Apsd = np.zeros((sd, ny))
     for t, bi in enumerate(band_idx):
