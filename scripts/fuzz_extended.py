@@ -14,10 +14,13 @@ reference's OptTests are hand-written fixtures only); tolerances match
 the solver defaults (reference: src/settings.jl:78-83).
 """
 
+import os
 import sys
 import traceback
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -321,6 +324,11 @@ def main():
                     traceback.print_exc(limit=3)
                     sys.stdout.flush()
         print(f"done {cls}: total={total} fails={fails}", flush=True)
+        # hundreds of live XLA:CPU executables crash late-process
+        # compiles (LLVM 'Cannot allocate memory' / SIGABRT in
+        # backend_compile_and_load — the tests/conftest.py finding);
+        # drop them between families
+        jax.clear_caches()
     print(f"FUZZ SUMMARY total={total} fails={fails}")
     return 1 if fails else 0
 
