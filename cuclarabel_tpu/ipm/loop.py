@@ -910,6 +910,11 @@ def make_solve_fn(layout: ConeLayout, settings, n: int, m: int, has_P: bool,
                 "step_length": final["alpha"],
                 "sigma": final["sigma"],
                 "ir_count": final["ir_count"],
+                # terminal scaling strategy (0 = PrimalDual, 1 = Dual):
+                # surfaces the per-problem nonsymmetric-cone downgrade
+                # (solver.jl:453-514's strategy ladder) so batched
+                # callers can observe strategy divergence across lanes
+                "scaling": final["scaling"],
             }
 
         return make_state0, loop_cond, loop_body, post

@@ -29,6 +29,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _inf_norm(v):
@@ -406,8 +407,18 @@ def make_dense_kkt(n: int, m: int, settings, factor_dtype, layout=None):
             # when the regularized diagonal entry |K_jj ± eps| would
             # have dominated its row, where the two differ by at most
             # 2x on a clipped heuristic
+            # clamp the f32 row maxima to f32 max: an |K| entry above
+            # it overflows the cast to inf, which would zero that
+            # row's scaling (1/sqrt(inf)) and guarantee factorization
+            # failure where the f64 row-norm degraded gracefully
+            # (ADVICE r4); min(inf, f32max) = f32max restores that
             rn = jnp.maximum(
-                jnp.max(jnp.abs(K.astype(jnp.float32)), axis=1), eps)
+                jnp.minimum(
+                    jnp.max(jnp.abs(K.astype(jnp.float32)), axis=1),
+                    jnp.float32(np.finfo(np.float32).max),
+                ),
+                eps,
+            )
             dj32 = 1.0 / jnp.sqrt(jnp.where(rn > 1e-30, rn, 1.0))
             dj = dj32.astype(jnp.float64)
             Ks = K * (dj[:, None] * dj[None, :])  # one emulated-f64 pass

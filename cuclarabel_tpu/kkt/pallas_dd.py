@@ -108,6 +108,61 @@ def dd_recip(bh, bl):
     return _quick_two_sum(q1, q2)
 
 
+def _dk_split(a):
+    """Dekker split of an f32 value into high/low halves (12+12 bits):
+    a == h + l exactly, with h and l each representable in 12 bits of
+    mantissa so products of halves are exact in f32."""
+    t = a * _SPLIT
+    h = t - (t - a)
+    return h, a - h
+
+
+def _presplit(wh, wl):
+    """(hi, lo) dd pair -> (hi, lo, hi_split_a, hi_split_b) operand
+    tuple for _fused_sub_prods.  Hoisting the Dekker split of a rank-1
+    factor out of its outer product replaces 8 of the 16 two_prod ops
+    per product element with 4 vector ops per factor."""
+    h1, h2 = _dk_split(wh)
+    return (wh, wl, h1, h2)
+
+
+def _bcol(t):  # (R, lanes) operand tuple -> (R, 1, lanes)
+    return tuple(v[:, None, :] for v in t)
+
+
+def _brow(t):  # (C, lanes) operand tuple -> (1, C, lanes)
+    return tuple(v[None, :, :] for v in t)
+
+
+def _fused_sub_prods(th, tl, terms):
+    """(th, tl) -= sum_t a_t * b_t for pre-split dd operand tuples
+    (a, alo, a1, a2) x (b, blo, b1, b2) of mutually-broadcastable
+    shapes, in ONE fused accumulation.
+
+    Exactness structure: the hi-word products enter through an exact
+    two_sum cascade against the accumulator; every O(2^-24)-relative
+    term (the two_prod errors recovered from the pre-split halves, the
+    hi*lo cross terms, and the carried lo words) accumulates in plain
+    f32, whose own rounding is O(2^-48) relative to the result — the
+    same error class as the sloppy dd_mul/dd_sub chain it replaces at
+    ~2/3 the VPU issue slots, and one read-modify-write of the
+    accumulator per CALL instead of per product."""
+    elo = None
+    ps = []
+    for (a, al, a1, a2), (b, bl, b1, b2) in terms:
+        p = a * b
+        err = (((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+               + (a * bl + al * b))
+        ps.append(p)
+        elo = err if elo is None else elo + err
+    sh = th
+    slo = tl - elo
+    for p in ps:
+        sh, c = _two_sum(sh, -p)
+        slo = slo + c
+    return _quick_two_sum(sh, slo)
+
+
 def dd_sum_axis0(h, l):
     """Pairwise dd reduction along axis 0 of (k, ...): log2(k) levels of
     vectorized dd_add (tree order also tightens the error bound)."""
@@ -185,6 +240,88 @@ def _ldl_kernel(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref, dh_ref, dl_ref):
             )
             lh_ref[j + 1 :, j + 1 :, :] = uh
             ll_ref[j + 1 :, j + 1 :, :] = ul
+
+
+def _ldl_kernel_ps(n, p, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
+                   dh_ref, dl_ref):
+    """Pre-split rank-p dd LDL^T — the round-5 factor kernel.
+
+    Two structural cuts over _ldl_kernel, which spends ~33 VPU issue
+    slots + 4 accumulator loads/stores per dd multiply-accumulate of
+    the O(n³/3) trailing update:
+
+    1. **Hoisted Dekker splits.**  Both rank-1 factors of a trailing
+       update (the unscaled pivot column w and the scaled column l) are
+       vectors reused across the whole outer product; splitting them
+       ONCE per pivot (4 vector ops each) halves the per-element
+       two_prod from 16 ops to 8 (p = a*b plus the 7-op error
+       recovery from the pre-split halves).
+
+    2. **Rank-p accumulation with f32 error folding**
+       (_fused_sub_prods).  p pivots' products subtract from the
+       trailing matrix in one read-modify-write: the hi words go
+       through an exact two_sum cascade, all O(2^-24)-relative terms
+       sum in plain f32 — p× fewer trailing-matrix RMWs and one
+       renormalization per p MACs instead of two dd-op renorms per MAC.
+
+    Within a p-block, pivot j's rank-1 update touches only the block's
+    own remaining columns (narrow (rows, <p, lanes) ops through the
+    same fused form).  Net issue-slot model: ~37 -> ~25.5 per MAC at
+    p=2, ~23.5 at p=4.  Same factorization semantics as _ldl_kernel
+    (QDLDL-class static regularization, directldl_qdldl.jl:10-96);
+    error class unchanged (tests/test_pallas_dd.py asserts dd-grade
+    solves for every p)."""
+    lh_ref[...] = kh_ref[...]
+    ll_ref[...] = kl_ref[...]
+    for j in range(n):
+        h, l = dd_add(lh_ref[j, j, :], ll_ref[j, j, :], reg_ref[j, :],
+                      jnp.zeros_like(reg_ref[j, :]))
+        lh_ref[j, j, :] = h
+        ll_ref[j, j, :] = l
+    for s in range(0, n, p):
+        e = min(s + p, n)
+        tail = []  # (pivot j, pre-split unscaled w at rows e:)
+        for j in range(s, e):
+            djh = lh_ref[j, j, :]
+            djl = ll_ref[j, j, :]
+            ih, il = dd_recip(djh, djl)
+            dh_ref[j, :] = ih
+            dl_ref[j, :] = il
+            if j + 1 >= n:
+                continue
+            wh = lh_ref[j + 1 :, j, :]  # unscaled column below the pivot
+            wl = ll_ref[j + 1 :, j, :]
+            if e < n:
+                # unscaled rows e: must be captured BEFORE the scaled
+                # store below; ref windows only (value slices lower to
+                # unsupported Mosaic gathers)
+                tail.append((j, _presplit(lh_ref[e:, j, :],
+                                          ll_ref[e:, j, :])))
+            lch, lcl = dd_mul(wh, wl, ih[None, :], il[None, :])
+            lh_ref[j + 1 :, j, :] = lch
+            ll_ref[j + 1 :, j, :] = lcl
+            if j + 1 < e:
+                # in-block rank-1: A[j+1:, j+1:e] -= w ⊗ l[j+1:e]
+                # (scaled entries re-read from the ref post-store)
+                lph = lh_ref[j + 1 : e, j, :]
+                lpl = ll_ref[j + 1 : e, j, :]
+                uh, ul = _fused_sub_prods(
+                    lh_ref[j + 1 :, j + 1 : e, :],
+                    ll_ref[j + 1 :, j + 1 : e, :],
+                    [(_bcol(_presplit(wh, wl)),
+                      _brow(_presplit(lph, lpl)))],
+                )
+                lh_ref[j + 1 :, j + 1 : e, :] = uh
+                ll_ref[j + 1 :, j + 1 : e, :] = ul
+        if e < n and tail:
+            terms = []
+            for (j, wsp) in tail:
+                lsp = _presplit(lh_ref[e:, j, :], ll_ref[e:, j, :])
+                terms.append((_bcol(wsp), _brow(lsp)))
+            uh, ul = _fused_sub_prods(lh_ref[e:, e:, :],
+                                      ll_ref[e:, e:, :], terms)
+            lh_ref[e:, e:, :] = uh
+            ll_ref[e:, e:, :] = ul
 
 
 def _ldl_kernel_aligned(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
@@ -430,10 +567,19 @@ DD_BLOCK = int(os.environ.get("CUCLARABEL_DD_BLOCK", "8"))
 # Factor panel width for _ldl_kernel_blocked (0 disables).
 DD_FACTOR_BLOCK = int(os.environ.get("CUCLARABEL_DD_FACTOR_BLOCK", "0"))
 
+# Pre-split rank-p factor kernel (_ldl_kernel_ps); 0 disables.  Default
+# decided by on-chip A/B (benchmarks/ab_results/ab_factor_ps.json).
+DD_FACTOR_PS = int(os.environ.get("CUCLARABEL_DD_FACTOR_PS", "2"))
 
-def _factor_body_for(n, block):
+
+def _factor_body_for(n, block, ps=0):
     if n > UNROLL_MAX:
         return _ldl_kernel_looped
+    if 0 < ps:
+        def body(n_, *refs, _p=min(ps, n)):
+            return _ldl_kernel_ps(n_, _p, *refs)
+
+        return body
     if 0 < block < n:
         def body(n_, *refs, _p=block):
             return _ldl_kernel_blocked(n_, _p, *refs)
@@ -848,7 +994,7 @@ def join_f64(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
-def _factor_impl(Kh, Kl, reg, interpret, block=0):
+def _factor_impl(Kh, Kl, reg, interpret, block=0, ps=0):
     N = Kh.shape[0]
     lanes = _lanes_for(N)
     Khp = _pad_lanes(Kh, lanes)
@@ -858,7 +1004,7 @@ def _factor_impl(Kh, Kl, reg, interpret, block=0):
     b0 = Kh.shape[-1]
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
-    kern = _factor_body_for(N, block)
+    kern = _factor_body_for(N, block, ps)
     Lh, Ll, Dh, Dl = pl.pallas_call(
         functools.partial(kern, N),
         grid=(Bp // lanes,),
@@ -1046,7 +1192,11 @@ def _cached_impl(impl, statics, *arrays):
         (tuple(a.shape), str(a.dtype), bool(getattr(a, "weak_type", False)))
         for a in arrays
     )
-    key = (impl.__name__, statics, sig)
+    # UNROLL_MAX joins the key: the kernel-body choice inside the impl
+    # reads it at trace time, so a cached wrapper traced under a
+    # different value would silently serve the wrong kernel (the
+    # looped-vs-unrolled test monkeypatches it)
+    key = (impl.__name__, statics, sig, UNROLL_MAX)
     fn = _JIT_IMPL_CACHE.get(key)
     if fn is None:
         def f(*xs):
@@ -1056,21 +1206,26 @@ def _cached_impl(impl, statics, *arrays):
             "x".join(map(str, s)) + ("w" if wk else "") for s, _, wk in sig
         )
         stat = "_".join(str(int(v)) for v in statics)
-        f.__name__ = f"{impl.__name__.lstrip('_')}_{shapes}_s{stat}"
+        f.__name__ = (f"{impl.__name__.lstrip('_')}_{shapes}_s{stat}"
+                      f"_u{UNROLL_MAX}")
         fn = jax.jit(f)
         _JIT_IMPL_CACHE[key] = fn
     return fn(*arrays)
 
 
-def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None):
+def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None, ps=None):
     """Batched dd LDL^T.  Kh/Kl: (N, N, B) f32 pair of the scaled,
     permuted, UNregularized quasidefinite K; reg: (N, B) signed
     regularization diagonal added internally.  Returns (Lh, Ll, Dinvh,
     Dinvl) in the same lane-major layout (strict upper L is junk).
-    block: factor panel width (None = module default DD_FACTOR_BLOCK)."""
+    block: factor panel width (None = module default DD_FACTOR_BLOCK).
+    ps: pre-split rank-p kernel, p = ps (None = module default
+    DD_FACTOR_PS; takes precedence over block when > 0)."""
     blk = DD_FACTOR_BLOCK if block is None else block
+    psv = DD_FACTOR_PS if ps is None else ps
     with jax.enable_x64(False):
-        return _cached_impl(_factor_impl, (interpret, blk), Kh, Kl, reg)
+        return _cached_impl(_factor_impl, (interpret, blk, psv),
+                            Kh, Kl, reg)
 
 
 def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False, block=None):

@@ -24,10 +24,14 @@ The kernels are traced with x64 disabled (everything is f32; under
 jax_enable_x64 the BlockSpec index-map literals become i64 and Mosaic
 fails to legalize them).  `interpret=True` runs them on CPU for tests.
 
-Exposed as a standalone building block and microbenchmark target — the
-production IPM path currently uses the explicit-inverse backend
-(kkt/dense.py); swapping it for this kernel is the round-2 integration
-step (see CLAUDE.md).
+Role: SUPERSEDED single-float building block, kept for tests and
+microbenchmarks.  The production KKT engine is the double-float
+("dd") variant of these kernels in kkt/pallas_dd.py — f32-only factors
+stall iterative refinement at cond(K)*eps32 ~ 1, so the dd engine has
+been the TPU default ("auto" -> "pallas") since round 2.  This file
+remains the minimal reference implementation of the batch-across-lanes
+LDL^T layout and the microbenchmark baseline the dd kernels are
+compared against.
 """
 
 import functools

@@ -122,6 +122,14 @@ class Solver:
             settings = settings.replace(**kwargs)
         settings.validate()
         self.settings = settings
+        # capture the effective fused-refinement pass count at BUILD
+        # time: make_dense_kkt resolves the same value when the program
+        # is built, and re-reading CUCLARABEL_DD_NPASS at info time
+        # would report a later env change (or raise on a malformed one)
+        # for a solve that never saw it (ADVICE r4)
+        from .kkt.dense import resolve_dd_npass
+
+        self._dd_npass = resolve_dd_npass(settings)
         self.setup(P, q, A, b, cones)
 
     # ------------------------------------------------------------------
@@ -337,12 +345,11 @@ class Solver:
             "nnzL": nnzL,
         }
         if method == "pallas":
-            from .kkt.dense import resolve_dd_npass
-
             # effective fused-refinement pass count (incl. any
-            # CUCLARABEL_DD_NPASS override active at build time)
-            self.info["linear_solver"]["dd_npass"] = resolve_dd_npass(
-                self.settings
+            # CUCLARABEL_DD_NPASS override active at BUILD time —
+            # captured in __init__, not re-read from the environment)
+            self.info["linear_solver"]["dd_npass"] = getattr(
+                self, "_dd_npass", 1
             )
         self.solution = DefaultSolution(
             x=x,

@@ -292,6 +292,49 @@ def run_one(cls, seed, path):
     _check(P, q, A, b, sol, label)
 
 
+def run_batch(cls, seed, B=5):
+    """The same generator families through BatchSolver (VERDICT r4 #4:
+    the batch path's riskiest machinery — per-problem strategy ladder,
+    backtracking line searches, NR inner loops diverging per lane under
+    vmap — exercised for EVERY cone family, asserted against
+    single-problem solves).  B=5 lanes of one structure with perturbed
+    q/b (multiplicative on nonzeros, preserving cone geometry)."""
+    import zlib
+
+    from cuclarabel_tpu.parallel import BatchSolver
+
+    rng = np.random.default_rng([zlib.crc32(cls.encode()), seed, 77])
+    gen = GENS[cls]
+    P, q, A, b, cones = gen(rng)
+    qs = np.stack([
+        q * (1.0 + 0.05 * rng.standard_normal(q.shape)) for _ in range(B)
+    ])
+    bs = np.stack([
+        np.where(b != 0.0,
+                 b * (1.0 + 0.02 * rng.standard_normal(b.shape)), 0.0)
+        for _ in range(B)
+    ])
+    sols = BatchSolver(P, qs, A, bs, cones).solve()
+    ok_class = (SolverStatus.SOLVED, SolverStatus.ALMOST_SOLVED)
+    for i in range(B):
+        ref = cc.Solver(P, qs[i], A, bs[i], cones,
+                        presolve_enable=False).solve()
+        label = f"{cls}/batch/{seed}/lane{i}"
+        if ref.status in ok_class:
+            assert sols[i].status in ok_class, \
+                f"{label}: batch {sols[i].status} vs single {ref.status}"
+            rel = abs(sols[i].obj_val - ref.obj_val) / max(
+                1.0, abs(ref.obj_val))
+            assert rel < 1e-4, f"{label}: obj rel err {rel}"
+        else:
+            # perturbation pushed the instance out of the solvable
+            # class; the batch must not claim SOLVED at a different
+            # objective
+            assert sols[i].status != SolverStatus.SOLVED or abs(
+                sols[i].obj_val - ref.obj_val
+            ) / max(1.0, abs(ref.obj_val)) < 1e-3, label
+
+
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     paths = ["dense", "sparse"]
@@ -310,6 +353,26 @@ def main():
             traceback.print_exc(limit=3)
             sys.stdout.flush()
     print(f"done chordal: total={total} fails={fails}", flush=True)
+    # batched sweeps: every cone family through BatchSolver (fewer
+    # seeds — each run is B=5 batched + 5 single reference solves).
+    # scaled_qp is excluded: its 1e±6 data magnitudes interact with
+    # the batch pipeline's f32-shadow device Ruiz, and raw-space
+    # comparisons need the class-specific tolerance logic above.
+    if "--no-batch" not in sys.argv:
+        nb = max(2, n_seeds // 5)
+        for cls in [c for c in GENS if c != "scaled_qp"]:
+            for seed in range(nb):
+                total += 1
+                try:
+                    run_batch(cls, seed)
+                except Exception:
+                    fails += 1
+                    print(f"FAIL class={cls} seed={seed} path=batch")
+                    traceback.print_exc(limit=3)
+                    sys.stdout.flush()
+            print(f"done {cls}/batch: total={total} fails={fails}",
+                  flush=True)
+            jax.clear_caches()
     for cls in list(GENS) + list(INFEAS):
         for path in paths:
             if path == "sparse" and cls == "sdp":

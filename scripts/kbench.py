@@ -148,6 +148,28 @@ def timed(name, fn, *args):
     return out
 
 
+def timed2(name, make_fn, *args):
+    """Two-chain-length difference timing: (t(3k) - t(k)) / 2k cancels
+    the fixed per-program cost (host fetch ~25-30 ms through this
+    tunnel, dispatch) EXACTLY, where dividing one chain's wall time by
+    k leaves fetch/k ms of inflation in every per-launch figure."""
+    k1, k2 = CHAIN_K, 3 * CHAIN_K
+    f1, f2 = make_fn(k1), make_fn(k2)
+    out = _sync(f1(*args))
+    _sync(f2(*args))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(f1(*args))
+        t1 = time.perf_counter()
+        _sync(f2(*args))
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
+    print(f"{name}: {np.median(ts):.2f} ms/launch  "
+          f"(diff-timed, reps {[round(t, 2) for t in ts]})", flush=True)
+    return out
+
+
 print(f"kbench N={N} B={B} backend={jax.default_backend()} chain={CHAIN_K}")
 t0 = time.time()
 Lh, Ll, Dh, Dl = timed("factor", chain_factor, Kh0, Kl0)
@@ -158,20 +180,35 @@ xr1 = timed("refine1", make_chain_refine(1), Kh0, Kl0, Lh, Ll, Dh, Dl, bh0, bl0)
 
 # blocked-panel factor sweep: one accumulated rank-p trailing update
 # per panel instead of a rank-1 RMW of the trailing matrix per pivot
-def make_chain_factor(block):
-    @jax.jit
-    def f(Kh, Kl, reg_):
-        Lh = Ll = Dh = Dl = None
-        for _ in range(CHAIN_K):
-            Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, reg_,
-                                           interpret=INTERP, block=block)
-            Kh = Kh + Lh * jnp.float32(1e-30)
-        return Lh, Ll, Dh, Dl
-    return f
+def make_chain_factor(block, ps=0):
+    def make(k):
+        @jax.jit
+        def f(Kh, Kl, reg_):
+            Lh = Ll = Dh = Dl = None
+            for _ in range(k):
+                Lh, Ll, Dh, Dl = dd_ldl_factor(
+                    Kh, Kl, reg_, interpret=INTERP, block=block, ps=ps)
+                Kh = Kh + Lh * jnp.float32(1e-30)
+            return Lh, Ll, Dh, Dl
+        return f
+    return make
 
 
-for blk in (0, 8, 16):
-    timed(f"factor_b{blk}", make_chain_factor(blk), Kh0, Kl0, reg)
+for blk in (0, 8):
+    timed2(f"factor_b{blk}", make_chain_factor(blk), Kh0, Kl0, reg)
+
+# pre-split rank-p factor sweep (_ldl_kernel_ps): hoisted Dekker
+# splits + fused rank-p accumulation, ~25.5 issue slots/MAC at p=2 vs
+# ~37 for the plain dd chain — with a compiled accuracy check per p
+# (EFT layouts must be re-verified per variant on hardware)
+for ps in (1, 2, 4, 8, 16):
+    Lp = timed2(f"factor_ps{ps}", make_chain_factor(0, ps), Kh0, Kl0, reg)
+    xp = _sync(chain_solve(*Lp, bh0, bl0))
+    xps = np.moveaxis(np.asarray(join_f64(xp[0], xp[1])), -1, 0)
+    Kreg_ = K + (dsigns * 1e-8) * np.eye(N)
+    rp = b - np.einsum("bij,bj->bi", Kreg_, xps)
+    print(f"  ps{ps} unrefined relres: "
+          f"{np.abs(rp).max() / np.abs(b).max():.3e}", flush=True)
 
 # blocked-substitution sweep (panel width): same dd ops reordered —
 # short intra-panel steps + one vectorized rank-p update per panel

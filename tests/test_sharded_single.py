@@ -95,3 +95,62 @@ def test_sharded_update_data_resolves():
     ref2 = cc.Solver(P2, q2, A2, b2b, cones, presolve_enable=False).solve()
     assert sol2.status == cc.SolverStatus.SOLVED
     assert abs(sol2.obj_val - ref2.obj_val) < 1e-6
+
+
+def test_sharded_exp_pow_matches_single():
+    """Nonsymmetric cones through the TP path: the arrow-TP KKT keeps
+    exp/pow rows as explicit saddle unknowns (kkt/arrow.py), and the
+    BFGS dual scaling + backtracking run under the sharded jit.  A
+    mixed exp+pow+NN problem on the 8-device mesh must match the
+    single-device solve (reference behavior coneops_expcone.jl /
+    coneops_powcone.jl through solver.jl's loop)."""
+    rng = np.random.default_rng(11)
+    n = 12
+    # min q'x st sum x = 1, x free-ish caps, (x0,x1,x2) in Kexp,
+    # (x3,x4,x5) in Kpow(0.4), rest NN
+    q = rng.standard_normal(n) * 0.3
+    A_eq = np.ones((1, n))
+    b_eq = np.array([1.0])
+    A_exp = np.zeros((3, n)); A_exp[:, 0:3] = -np.eye(3)
+    A_pow = np.zeros((3, n)); A_pow[:, 3:6] = -np.eye(3)
+    A_nn = np.zeros((n - 6, n)); A_nn[:, 6:] = -np.eye(n - 6)
+    A_cap = np.eye(n)
+    A = np.vstack([A_eq, A_cap, A_exp, A_pow, A_nn])
+    b = np.concatenate([b_eq, np.full(n, 2.0), np.zeros(3), np.zeros(3),
+                        np.zeros(n - 6)])
+    cones = [
+        cc.ZeroConeT(1), cc.NonnegativeConeT(n), cc.ExponentialConeT(),
+        cc.PowerConeT(0.4), cc.NonnegativeConeT(n - 6),
+    ]
+    ref = cc.Solver(None, q, A, b, cones, presolve_enable=False).solve()
+    assert ref.status == cc.SolverStatus.SOLVED
+    sol = ShardedSolver(None, q, A, b, cones, n_devices=8).solve()
+    assert sol.status == cc.SolverStatus.SOLVED
+    assert abs(sol.obj_val - ref.obj_val) < 1e-6
+
+
+def test_sharded_psd_matches_single():
+    """PSD-triangle cone through the TP path (svec rows sharded over
+    the mesh; eigh-based NT scaling under the sharded jit)."""
+    rng = np.random.default_rng(5)
+    d = 4
+    nsv = d * (d + 1) // 2
+
+    def svec(M):
+        out = []
+        for j in range(d):
+            for i in range(j + 1):
+                out.append(M[i, j] * (1.0 if i == j else np.sqrt(2.0)))
+        return np.array(out)
+
+    Cm = rng.standard_normal((d, d))
+    Cm = (Cm + Cm.T) / 2
+    q = svec(Cm)
+    A = np.vstack([svec(np.eye(d))[None, :], -np.eye(nsv)])
+    b = np.concatenate([[1.0], np.zeros(nsv)])
+    cones = [cc.ZeroConeT(1), cc.PSDTriangleConeT(d)]
+    ref = cc.Solver(None, q, A, b, cones, presolve_enable=False).solve()
+    sol = ShardedSolver(None, q, A, b, cones, n_devices=8).solve()
+    assert sol.status == cc.SolverStatus.SOLVED
+    assert abs(sol.obj_val - ref.obj_val) < 1e-7
+    assert abs(sol.obj_val - np.linalg.eigvalsh(Cm)[0]) < 1e-7
