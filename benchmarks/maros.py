@@ -384,6 +384,12 @@ def run(verbose: bool = False):
             "obj": obj,
             "obj_golden": p.obj_golden,
             "obj_err": abs(obj - p.obj_golden),
+            # the tolerance this member is actually asserted at
+            # (scale-aware; see obj_tol) — artifacts must show what
+            # "matches the published optimum" meant per row
+            "obj_tol": obj_tol(p),
+            "r_prim": float(sol.r_prim),
+            "r_dual": float(sol.r_dual),
             "iters": sol.iterations,
             "warm_ms": warm * 1e3,
             "cold_s": cold,

@@ -187,6 +187,8 @@ def solve_qps_text(text: str, name: str = "", force_sparse=None,
         "status": sol.status.name,
         "obj": qps_objective(sgn_c0, sol.obj_val),
         "iterations": sol.iterations,
+        "r_prim": float(sol.r_prim),
+        "r_dual": float(sol.r_dual),
         "solve_s": round(dt, 4),
         "path": "sparse" if use_sparse else "dense",
     }

@@ -343,9 +343,9 @@ def main():
             "name": f"mm-{r['name']}", "status": r["status"],
             "ok": r["status"] in ("SOLVED", "ALMOST_SOLVED"),
             "iters": r["iters"], "warm_ms": r["warm_ms"],
-            "cold_s": r["cold_s"], "r_prim": float("nan"),
-            "r_dual": float("nan"), "obj": r["obj"],
-            "obj_err": r["obj_err"],
+            "cold_s": r["cold_s"], "r_prim": r["r_prim"],
+            "r_dual": r["r_dual"], "obj": r["obj"],
+            "obj_err": r["obj_err"], "obj_tol": r["obj_tol"],
         })
     results += [
         qp_golden(),
@@ -359,6 +359,25 @@ def main():
         sparse_grid_qp(16, 7),
         banded_sparse_qp(300, 3, 8),
     ]
+    # genuine mid-size MM members (analytic CVXQP reconstruction,
+    # validated against the published optima — benchmarks/cvxqp.py)
+    # through the full QPS pipeline
+    from benchmarks.cvxqp import run as run_cvxqp
+
+    cvx_members = ("CVXQP1_S", "CVXQP2_S", "CVXQP3_S")
+    if args.medium:
+        cvx_members += ("CVXQP1_M",)
+    for rec in run_cvxqp(cvx_members):
+        results.append({
+            "name": f"mm-{rec['name']}", "status": rec["status"],
+            "ok": rec["status"] in ("SOLVED", "ALMOST_SOLVED")
+            and rec["obj_err"] <= rec["obj_tol"],
+            "iters": rec["iterations"], "warm_ms": rec["solve_s"] * 1e3,
+            "cold_s": rec["solve_s"], "r_prim": rec["r_prim"],
+            "r_dual": rec["r_dual"], "obj": rec["obj"],
+            "obj_err": rec["obj_err"], "obj_tol": rec["obj_tol"],
+            "n": rec["n"], "m": rec["m"], "path": rec["path"],
+        })
     if args.medium:
         # medium grid-QP instances (AUG2D structural class) through the
         # device multifrontal; N_kkt = 2k^2 + 1

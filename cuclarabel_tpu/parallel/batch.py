@@ -404,6 +404,12 @@ class BatchSolver:
             settings = settings.replace(batch_compaction=q_res)
             self.settings = settings
         self._staged = settings.batch_compaction > 0.0
+        # chunked wide batches (see _solve_chunked): single-device
+        # only — a sharded batch already splits across devices
+        self._chunk = (
+            0 if mesh_shape is not None
+            else settings.resolved_batch_chunk(B)
+        )
         if self._staged and mesh_shape is not None:
             raise ValueError(
                 "batch_compaction resumes stragglers in a narrower "
@@ -462,30 +468,22 @@ class BatchSolver:
             bd = jnp.asarray(b)
         self._args = (Pd, Ad, qd, bd)
 
-    def _solve_staged(self, ws_args):
-        """Two-dispatch compaction solve (see make_batch_stage_fns):
-        stage 1 to quorum, host gather of straggler indices, stage 2
-        resumes them from mid-loop state in a power-of-two-wide
-        program.  Records self.last_compaction for observability."""
-        import time as _time
-
-        warm = bool(ws_args)
+    def _stage_fns_for(self, warm):
         if warm:
-            s1, s2 = make_batch_stage_fns(
+            return make_batch_stage_fns(
                 self.layout, self.settings, self.n, self.m, self._has_P,
                 _resolve_factor_dtype(self.settings, self.layout),
                 warm=True,
             )
-        else:
-            s1, s2 = self._stage_fns
-        t = jnp.asarray(_time.time())
-        outs, state = s1(*self._args, t, *ws_args)
-        # fetch ONLY the status vector first (16 KB — the straggler
-        # list needs nothing else), dispatch stage 2 asynchronously,
-        # then pull the full stage-1 results while stage 2 executes.
-        # The bulk fetch is ~150 ms at B=4096 through the tunnel
-        # (~4.4 MB at ~30 MB/s) and previously serialized ahead of the
-        # stage-2 dispatch.
+        return self._stage_fns
+
+    def _staged_resolve(self, s2, t, args, B, outs, state, ws_args):
+        """Host half of the compaction solve: fetch ONLY the status
+        vector first (16 KB — the straggler list needs nothing else),
+        dispatch stage 2 asynchronously, then pull the full stage-1
+        results while stage 2 executes.  The bulk fetch is ~150 ms at
+        B=4096 through the tunnel (~4.4 MB at ~30 MB/s) and previously
+        serialized ahead of the stage-2 dispatch."""
         status_h = np.asarray(outs["status"])
         rem = np.flatnonzero(status_h == int(SolverStatus.UNSOLVED))
         outs2 = None
@@ -493,13 +491,13 @@ class BatchSolver:
             # pad the straggler list to a power of two (bounded set of
             # stage-2 program shapes -> warm jit cache on re-solves);
             # padding repeats real indices, duplicates are discarded
-            B2 = min(self.B, max(8, 1 << int(rem.size - 1).bit_length()))
+            B2 = min(B, max(8, 1 << int(rem.size - 1).bit_length()))
             idx = np.resize(rem, B2).astype(np.int32)
-            outs2 = s2(*self._args, t, jnp.asarray(idx), state, *ws_args)
+            outs2 = s2(*args, t, jnp.asarray(idx), state, *ws_args)
         # device_get may hand back read-only buffer views; stage 2
         # results are scattered into these in place
         out = {k: np.array(v) for k, v in jax.device_get(outs).items()}
-        self.last_compaction = {
+        comp = {
             "remainder": int(rem.size),
             "stage1_iterations": int(np.max(out["iterations"])),
         }
@@ -508,7 +506,93 @@ class BatchSolver:
             k = rem.size
             for key in out:
                 out[key][rem] = out2[key][:k]
+        return out, comp
+
+    def _solve_staged(self, ws_args):
+        """Two-dispatch compaction solve (see make_batch_stage_fns):
+        stage 1 to quorum, host gather of straggler indices, stage 2
+        resumes them from mid-loop state in a power-of-two-wide
+        program.  Records self.last_compaction for observability."""
+        import time as _time
+
+        s1, s2 = self._stage_fns_for(bool(ws_args))
+        t = jnp.asarray(_time.time())
+        outs, state = s1(*self._args, t, *ws_args)
+        out, comp = self._staged_resolve(
+            s2, t, self._args, self.B, outs, state, ws_args)
+        self.last_compaction = comp
         return out
+
+    def _solve_chunked(self, ws_args, fn=None):
+        """Chunked wide-batch solve (settings.batch_chunk_size): the
+        batch splits into chunk-wide programs that are ALL enqueued
+        before any result is awaited — XLA executes them back-to-back
+        on the chip (pipelining the host round-trips away) while peak
+        live intermediates stay bounded by the chunk width.  Round-4
+        measured a monolithic B=8192 program at 9.1k problems/s vs
+        10.2k at B=4096 (batch_scaling artifact); chunking holds the
+        per-chunk width at the measured sweet spot.
+
+        Composition with compaction: every chunk's stage-1 program is
+        dispatched first (async); the per-chunk straggler gathers then
+        resolve in order, each stage-2 dispatch overlapping the later
+        chunks' stage-1 execution.  The tail chunk pads to a power of
+        two by repeating problems (duplicates discarded on merge),
+        bounding the set of compiled program widths."""
+        import time as _time
+
+        C = self._chunk
+        B = self.B
+        staged = self._staged
+        fn = fn if fn is not None else self._fn
+        s1 = s2 = None
+        if staged:
+            s1, s2 = self._stage_fns_for(bool(ws_args))
+        t = jnp.asarray(_time.time())
+        pending = []
+        i = 0
+        while i < B:
+            w = min(C, B - i)
+            if w == C:
+                args = tuple(a[i : i + C] for a in self._args)
+                ws = tuple(a[i : i + C] for a in ws_args)
+                wpad = C
+            else:
+                # tail chunk: pad to a power of two by repeating rows
+                wpad = max(256, 1 << int(w - 1).bit_length())
+                idx = jnp.asarray(np.resize(np.arange(i, i + w), wpad))
+                args = tuple(a[idx] for a in self._args)
+                ws = tuple(a[idx] for a in ws_args)
+            if staged:
+                outs, state = s1(*args, t, *ws)
+                pending.append((i, w, wpad, args, ws, outs, state))
+            else:
+                outs = fn(*args, t, *ws)
+                pending.append((i, w, wpad, args, ws, outs, None))
+            i += w
+
+        merged = None
+        comp = {"chunks": len(pending), "remainder": 0,
+                "stage1_iterations": 0}
+        for (i, w, wpad, args, ws, outs, state) in pending:
+            if staged:
+                out, c = self._staged_resolve(
+                    s2, t, args, wpad, outs, state, ws)
+                comp["remainder"] += c["remainder"]
+                comp["stage1_iterations"] = max(
+                    comp["stage1_iterations"], c["stage1_iterations"])
+            else:
+                out = {k: np.array(v)
+                       for k, v in jax.device_get(outs).items()}
+            if merged is None:
+                merged = {
+                    k: np.empty((B,) + v.shape[1:], v.dtype)
+                    for k, v in out.items()
+                }
+            for k, v in out.items():
+                merged[k][i : i + w] = v[:w]
+        self.last_compaction = comp if staged else {"chunks": len(pending)}
+        return merged
 
     def solve(self, warm_start=None):
         """warm_start=(X, S, Z) with shapes (B, n), (B, m), (B, m) in
@@ -526,7 +610,17 @@ class BatchSolver:
             )
             ws_args = (jnp.asarray(wx), jnp.asarray(ws), jnp.asarray(wz))
 
-        if self._staged:
+        if self._chunk:
+            fn = self._fn
+            if warm_start is not None and not self._staged:
+                fn = make_batch_solve_fn(
+                    self.layout, self.settings, self.n, self.m,
+                    self._has_P,
+                    _resolve_factor_dtype(self.settings, self.layout),
+                    self._mesh_shape, warm=True,
+                )
+            out = self._solve_chunked(ws_args, fn)
+        elif self._staged:
             out = self._solve_staged(ws_args)
         elif warm_start is not None:
             fn = make_batch_solve_fn(

@@ -91,6 +91,19 @@ class Settings:
     batch_compaction: float = -1.0
     batch_compaction_min_batch: int = 1024
 
+    # BatchSolver chunking for very wide batches: the measured
+    # throughput curve peaks near B=4096 on v5e (10.2k problems/s
+    # device-side) and a monolithic B=8192 program REGRESSES to 9.1k
+    # (round-4 batch_scaling artifact) — wider programs enlarge the
+    # straggler tail the fused loop runs to, and live HBM grows with
+    # B.  With chunking, batches wider than the chunk split into
+    # chunk-wide programs that are ALL enqueued before one fence
+    # (XLA pipelines them back-to-back), so throughput stays at the
+    # sweet spot and peak live intermediates are bounded by the chunk
+    # width.  -1 (default) = auto: chunk at 4096 when B > 4096;
+    # 0 disables; explicit values chunk at that width.
+    batch_chunk_size: int = -1
+
     # Multi-RHS ("pair") KKT solves: fuse the constant-RHS (-q, b) and
     # affine systems — which share the factorization — into one kernel
     # launch.  None = auto: OFF on the dense backends (v5e portfolio
@@ -183,6 +196,14 @@ class Settings:
             return 0.9 if batch_size >= self.batch_compaction_min_batch else 0.0
         return q
 
+    def resolved_batch_chunk(self, batch_size: int) -> int:
+        """Resolve the batch_chunk_size auto sentinel: the chunk width
+        actually used (0 = no chunking) for a concrete batch width."""
+        c = self.batch_chunk_size
+        if c < 0:
+            c = 4096
+        return c if 0 < c < batch_size else 0
+
     @classmethod
     def from_dict(cls, d: dict) -> "Settings":
         """Populate from a dict (mirrors settings_populate!,
@@ -244,6 +265,10 @@ class Settings:
                 "batch_compaction must be in [0, 1) or -1.0 (auto)")
         if self.batch_compaction_min_batch < 1:
             raise ValueError("batch_compaction_min_batch must be positive")
+        if self.batch_chunk_size < -1:
+            raise ValueError(
+                "batch_chunk_size must be -1 (auto), 0 (off), or a "
+                "positive chunk width")
         if not (0.0 < self.corrector_beta_min < 1.0
                 < self.corrector_beta_max):
             raise ValueError(

@@ -103,3 +103,47 @@ def test_compaction_setting_validation():
     P, q, A, b, cones = _mixed_qp_batch(8, 4)
     with pytest.raises(ValueError):
         BatchSolver(P, q, A, b, cones, batch_compaction=0.5, n_devices=2)
+
+
+def test_batch_chunking_matches_unchunked():
+    """batch_chunk_size splits a wide batch into chunk-wide programs
+    (all enqueued before one fence); results must match the monolithic
+    program per problem, for both the plain and the compacted
+    (chunk x compaction) paths, including a non-divisible tail chunk."""
+    import numpy as np
+
+    import cuclarabel_tpu as cc
+    from cuclarabel_tpu.parallel import BatchSolver
+
+    rng = np.random.default_rng(9)
+    B, n = 40, 8
+    A = np.vstack([np.ones((1, n)), -np.eye(n)])
+    bs = np.tile(np.concatenate([[1.0], np.zeros(n)]), (B, 1))
+    qs = rng.standard_normal((B, n))
+    cones = [cc.ZeroConeT(1), cc.NonnegativeConeT(n)]
+
+    ref = BatchSolver(None, qs, A, bs, cones, batch_chunk_size=0,
+                      batch_compaction=0.0).solve()
+    # chunk width 16 -> chunks of 16, 16, and a tail of 8 (padded)
+    for compaction in (0.0, 0.5):
+        slv = BatchSolver(None, qs, A, bs, cones, batch_chunk_size=16,
+                          batch_compaction=compaction)
+        assert slv._chunk == 16
+        sols = slv.solve()
+        assert slv.last_compaction.get("chunks") == 3
+        for i in range(B):
+            assert sols[i].status == cc.SolverStatus.SOLVED
+            assert abs(sols[i].obj_val - ref[i].obj_val) < 1e-9, i
+            np.testing.assert_allclose(sols[i].x, ref[i].x, atol=1e-8)
+
+
+def test_batch_chunk_auto_resolution():
+    """-1 auto chunks at 4096 only above 4096; explicit widths win."""
+    from cuclarabel_tpu.settings import Settings
+
+    s = Settings()
+    assert s.resolved_batch_chunk(4096) == 0
+    assert s.resolved_batch_chunk(8192) == 4096
+    assert Settings(batch_chunk_size=0).resolved_batch_chunk(10**5) == 0
+    assert Settings(batch_chunk_size=512).resolved_batch_chunk(1024) == 512
+    assert Settings(batch_chunk_size=512).resolved_batch_chunk(512) == 0

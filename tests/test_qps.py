@@ -228,3 +228,35 @@ ENDATA
     p = parse_qps(text)
     Q = np.asarray(p.Q.todense())
     np.testing.assert_allclose(Q, [[2.0, 1.0], [1.0, 2.0]])
+
+
+def test_cvxqp_s_through_qps_pipeline():
+    """Genuine mid-size MM member: CVXQP1_S (n=100, m=50 + bounds),
+    reconstructed from its analytic SIF generator (benchmarks/cvxqp.py
+    — reconstruction validated against the published optimum
+    1.1590718e4 at 8 significant digits), written as QPS text, parsed
+    back, and solved.  The published value is asserted at the rounding
+    granularity of the repository's 8-digit figure."""
+    import numpy as np
+
+    from benchmarks.cvxqp import PUBLISHED, cvxqp_qps
+    from cuclarabel_tpu.qps import parse_qps, to_clarabel, write_qps
+    import cuclarabel_tpu as cc
+    import os
+    import tempfile
+
+    p = cvxqp_qps("CVXQP1_S")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "CVXQP1_S.qps")
+        write_qps(p, path)
+        with open(path) as f:
+            p2 = parse_qps(f.read(), name_hint="CVXQP1_S")
+    P, q, A, b, cones, sgn_c0 = to_clarabel(p2)
+    sol = cc.Solver(np.asarray(P.todense()), q, np.asarray(A.todense()),
+                    b, cones).solve()
+    assert sol.status == cc.SolverStatus.SOLVED
+    from cuclarabel_tpu.qps import qps_objective
+
+    obj = qps_objective(sgn_c0, sol.obj_val)
+    assert abs(obj - PUBLISHED["CVXQP1_S"]) < 1e-3
+    assert sol.r_prim < 1e-8 and sol.r_dual < 1e-8
