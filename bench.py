@@ -278,42 +278,58 @@ def main():
         # constant (via a device->host readback), and at B=4096 the
         # (N, N, B) factors are ~113 MB each — the 2026-08 tunnel's
         # remote compiler rejects such payloads outright (HTTP 413)
-        @jax.jit
-        def chain_factor(Kh_, Kl_, reg_):
-            out = None
-            for _ in range(chain):
-                out = dd_ldl_factor(Kh_, Kl_, reg_)
-                Kh_ = Kh_ + out[0] * jnp.float32(1e-30)
-            return out
+        def make_chain_factor(k):
+            @jax.jit
+            def f(Kh_, Kl_, reg_):
+                out = None
+                for _ in range(k):
+                    out = dd_ldl_factor(Kh_, Kl_, reg_)
+                    Kh_ = Kh_ + out[0] * jnp.float32(1e-30)
+                return out
+            return f
 
         def sync(o):
             np.asarray(jax.tree_util.tree_leaves(o)[0][..., :1])
             return o
 
-        Lh, Ll, Dh, Dl = sync(chain_factor(Kh, Kl, regk))
+        cf1, cf3 = make_chain_factor(chain), make_chain_factor(3 * chain)
+        Lh, Ll, Dh, Dl = sync(cf1(Kh, Kl, regk))
 
-        @jax.jit
-        def chain_refine(Kh_, Kl_, Lh_, Ll_, Dh_, Dl_, bh_, bl_):
-            out = None
-            for _ in range(chain):
-                out = dd_ldl_solve_refine(Kh_, Kl_, Lh_, Ll_, Dh_, Dl_,
-                                          bh_, bl_, npass=npk)
-                bh_ = bh_ + out[0] * jnp.float32(1e-30)
-            return out
+        def make_chain_refine(k):
+            @jax.jit
+            def f(Kh_, Kl_, Lh_, Ll_, Dh_, Dl_, bh_, bl_):
+                out = None
+                for _ in range(k):
+                    out = dd_ldl_solve_refine(Kh_, Kl_, Lh_, Ll_, Dh_,
+                                              Dl_, bh_, bl_, npass=npk)
+                    bh_ = bh_ + out[0] * jnp.float32(1e-30)
+                return out
+            return f
 
-        sync(chain_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl))
+        cr1, cr3 = make_chain_refine(chain), make_chain_refine(3 * chain)
+        sync(cr1(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl))
 
-        def t3(fn, *a):
+        def t3(f1, f3, *a):
+            # two-chain-length difference timing: (t(3k) - t(k)) / 2k
+            # cancels the fixed per-program cost EXACTLY (host fetch
+            # ~2-30 ms depending on the runtime generation; dividing
+            # one chain's wall by k leaves fetch/k inflating every
+            # per-launch figure — round-4's chained numbers carried
+            # ~3-4 ms of that)
+            sync(f3(*a))
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                sync(fn(*a))
-                ts.append((time.perf_counter() - t0) / chain * 1e3)
+                sync(f1(*a))
+                t1 = time.perf_counter()
+                sync(f3(*a))
+                t2 = time.perf_counter()
+                ts.append(((t2 - t1) - (t1 - t0)) / (2 * chain) * 1e3)
             return float(np.median(ts))
 
-        sync(chain_factor(Kh, Kl, regk))
-        f_ms = t3(chain_factor, Kh, Kl, regk)
-        r_ms = t3(chain_refine, Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
+        sync(cf1(Kh, Kl, regk))
+        f_ms = t3(cf1, cf3, Kh, Kl, regk)
+        r_ms = t3(cr1, cr3, Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
         f_ops = 28.0 * N**3 / 3.0 * Bk
         r_ops = (2.0 * npk + 2.0) * 28.0 * N**2 * Bk
         return {
@@ -327,6 +343,23 @@ def main():
         }
 
     kern = _kernel_attainment()
+
+    # ---- host_solve routing (round-5 policy): a lone small solve
+    # through the public Solver API runs on the in-process CPU backend
+    # (Settings.host_solve auto), dodging both the per-dispatch floor
+    # and lane-1 kernel launches on a 128-lane machine
+    import cuclarabel_tpu as _cc
+
+    _hs = _cc.Solver(None, qs[0], A, bs[0], cones,
+                     presolve_enable=False)
+    _hs.solve()  # compile
+    _ts = []
+    for _ in range(10):
+        _t0 = time.perf_counter()
+        _hs.solve()
+        _ts.append(time.perf_counter() - _t0)
+    host_single_ms = float(np.median(_ts)) * 1e3
+    host_routed = bool(_hs.info["linear_solver"].get("host_solve"))
 
     # ---- secondary figure: B=4096 through BatchSolver with the auto
     # compaction default (resolves to quorum 0.9 at this width; the
@@ -417,6 +450,15 @@ def main():
                     "on-device IPM time; the floor is a property of "
                     "the (remote) runtime, not solver work — "
                     "on-device time is the difference"
+                ),
+                "host_single_solve_ms": round(host_single_ms, 2),
+                "host_solve_routed": host_routed,
+                "host_solve_note": (
+                    "warm single solve through the public Solver API "
+                    "under the round-5 host_solve auto policy (small "
+                    "lone solves run on the in-process CPU backend, "
+                    "dodging the dispatch floor and lane-1 kernel "
+                    "launches; Settings.host_solve)"
                 ),
                 "tflops": round(tflops, 4),
                 "hbm_gbps": round(hbm_gbps, 2),

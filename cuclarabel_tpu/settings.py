@@ -91,6 +91,19 @@ class Settings:
     batch_compaction: float = -1.0
     batch_compaction_min_batch: int = 1024
 
+    # Single-solve host routing: a lone small solve on a TPU-backend
+    # process pays per-dispatch latency plus lane-1 kernel launches on
+    # a 128-lane machine, while the same problem solves warm in ~5 ms
+    # on the host CPU backend (measured, N=83 portfolio).  "auto"
+    # (default) routes single `Solver` solves with KKT dim <= 128 to
+    # the in-process CPU backend when the default backend is a TPU and
+    # kkt_solve_method is "auto" (an explicit backend choice is
+    # respected); "on" forces host routing for any N; "off" disables.
+    # Batch/sharded/sparse solvers ignore this (they exist to use the
+    # chip).  The reference solves this class on CPU natively — this
+    # is the parity policy for latency-critical small problems (MPC).
+    host_solve: str = "auto"
+
     # BatchSolver chunking for very wide batches: the measured
     # throughput curve peaks near B=4096 on v5e (10.2k problems/s
     # device-side) and a monolithic B=8192 program REGRESSES to 9.1k
@@ -269,6 +282,8 @@ class Settings:
             raise ValueError(
                 "batch_chunk_size must be -1 (auto), 0 (off), or a "
                 "positive chunk width")
+        if self.host_solve not in ("auto", "on", "off"):
+            raise ValueError("host_solve must be auto|on|off")
         if not (0.0 < self.corrector_beta_min < 1.0
                 < self.corrector_beta_max):
             raise ValueError(

@@ -90,6 +90,33 @@ def _cached_solve_fn(layout, settings, n, m, has_P, factor_dtype_name,
                          warm=warm, stream=settings.verbose)
 
 
+def _host_solve_device(settings, N: int):
+    """Resolve the settings.host_solve policy: the CPU jax device the
+    single-problem program should run on, or None for the process
+    default.  Auto routes small (N <= 128) single solves away from a
+    TPU default backend — measured ~5 ms warm on host vs ~16 ms
+    on-device + dispatch latency for the N=83 bench problem (the
+    reference's native habitat for this class is the CPU).  An
+    explicit kkt_solve_method choice opts out of auto routing."""
+    if settings.host_solve == "off":
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if settings.host_solve == "auto" and (
+        N > 128 or settings.kkt_solve_method != "auto"
+    ):
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:  # CPU platform not exposed in this process
+        return None
+
+
+def _put_on(device, x):
+    x = jnp.asarray(x)
+    return jax.device_put(x, device) if device is not None else x
+
+
 def _resolve_factor_dtype(settings, layout=None) -> str:
     if settings.kkt_factor_precision == "auto":
         # accuracy parity with the reference by default: f64 factors
@@ -133,6 +160,10 @@ class Solver:
         self.setup(P, q, A, b, cones)
 
     # ------------------------------------------------------------------
+    def _put(self, x):
+        """Array placement honoring the host_solve routing decision."""
+        return _put_on(getattr(self, "_solve_device", None), x)
+
     def setup(self, P, q, A, b, cones: Sequence[SupportedCone]):
         q = np.asarray(q, dtype=np.float64).ravel()
         b = np.asarray(b, dtype=np.float64).ravel()
@@ -214,23 +245,34 @@ class Solver:
         self._Ps, self._As = Pd, Ad
         self._qs, self._bs = qs, bs
         self._d, self._e, self._c = d, e, c
+        # host_solve routing: committed-CPU inputs make the jitted
+        # program compile and execute on the host backend
+        self._solve_device = _host_solve_device(self.settings, n + m)
+        if self._solve_device is not None:
+            # the compiled program runs on CPU; pin the KKT method to
+            # the CPU path (auto resolution sniffs the process default
+            # backend, which is the TPU here)
+            self._fn_settings = self.settings.replace(kkt_solve_method="lu")
+        else:
+            self._fn_settings = self.settings
         self._dev = {
-            "P": jnp.asarray(Pd),
-            "q": jnp.asarray(qs),
-            "A": jnp.asarray(Ad),
-            "b": jnp.asarray(bs),
-            "d": jnp.asarray(d),
-            "dinv": jnp.asarray(1.0 / d),
-            "e": jnp.asarray(e),
-            "einv": jnp.asarray(1.0 / e),
-            "cscale": jnp.asarray(c),
-            "normq": jnp.asarray(normq),
-            "normb": jnp.asarray(normb),
+            "P": self._put(Pd),
+            "q": self._put(qs),
+            "A": self._put(Ad),
+            "b": self._put(bs),
+            "d": self._put(d),
+            "dinv": self._put(1.0 / d),
+            "e": self._put(e),
+            "einv": self._put(1.0 / e),
+            "cscale": self._put(c),
+            "normq": self._put(normq),
+            "normb": self._put(normb),
         }
 
         factor_dtype_name = _resolve_factor_dtype(self.settings, self.layout)
         self._solve_fn = _cached_solve_fn(
-            self.layout, self.settings, n, m, self._has_P, factor_dtype_name
+            self.layout, self._fn_settings, n, m, self._has_P,
+            factor_dtype_name
         )
         self.solution: Optional[DefaultSolution] = None
         self.info: Optional[dict] = None
@@ -265,11 +307,11 @@ class Solver:
                 np.asarray(self._dev["d"]), np.asarray(self._dev["e"]),
                 float(np.asarray(self._dev["cscale"])),
             )
-            self._dev["ws_x"] = jnp.asarray(wsx)
-            self._dev["ws_s"] = jnp.asarray(wss)
-            self._dev["ws_z"] = jnp.asarray(wsz)
+            self._dev["ws_x"] = self._put(wsx)
+            self._dev["ws_s"] = self._put(wss)
+            self._dev["ws_z"] = self._put(wsz)
             solve_fn = _cached_solve_fn(
-                self.layout, self.settings, self.n, self.m, self._has_P,
+                self.layout, self._fn_settings, self.n, self.m, self._has_P,
                 _resolve_factor_dtype(self.settings, self.layout),
                 warm=True,
             )
@@ -300,7 +342,7 @@ class Solver:
             # (settings.jl:73, info.jl:110-115); includes trace/compile
             # time of this dispatch, matching the reference's
             # wall-clock-of-solve! semantics
-            self._dev["t_start"] = jnp.asarray(time.time())
+            self._dev["t_start"] = self._put(time.time())
         t0 = time.perf_counter()
         with trace_ctx:
             out = solve_fn(self._dev)
@@ -330,7 +372,7 @@ class Solver:
         from .kkt.dense import resolve_kkt_method
 
         N = self.n + self.m
-        method = resolve_kkt_method(self.settings, N)
+        method = resolve_kkt_method(self._fn_settings, N)
         # nnzL reflects what the backend actually materializes: the
         # Pallas dd LDL^T stores a dense triangle; "inverse" holds the
         # full explicit K^{-1}; "lu" holds packed L and U (full square)
@@ -343,6 +385,9 @@ class Solver:
             "kkt_dim": N,
             "nnzA": int(np.count_nonzero(self._As)),
             "nnzL": nnzL,
+            # True when the host_solve policy routed this single solve
+            # to the in-process CPU backend (see Settings.host_solve)
+            "host_solve": self._solve_device is not None,
         }
         if method == "pallas":
             # effective fused-refinement pass count (incl. any
@@ -462,7 +507,7 @@ class Solver:
             P_full[cols, rows] = vals
             self._Ps = P_full
         self._has_P = bool(np.any(self._Ps != 0.0))
-        self._dev["P"] = jnp.asarray(self._Ps)
+        self._dev["P"] = self._put(self._Ps)
         self._refresh_solve_fn()
 
     def update_A(self, A) -> None:
@@ -482,7 +527,7 @@ class Solver:
             A_full = np.asarray(self._As).copy()
             A_full[rows, cols] = e[rows] * d[cols] * a2
             self._As = A_full
-        self._dev["A"] = jnp.asarray(self._As)
+        self._dev["A"] = self._put(self._As)
 
     def update_q(self, q) -> None:
         """q_int = c * D q; refreshes the unscaled norm used by the
@@ -497,8 +542,8 @@ class Solver:
         if q.shape[0] != self.n:
             raise ValueError("q: wrong length")
         self._qs = self._c * self._d * q
-        self._dev["q"] = jnp.asarray(self._qs)
-        self._dev["normq"] = jnp.asarray(
+        self._dev["q"] = self._put(self._qs)
+        self._dev["normq"] = self._put(
             float(np.abs(q).max()) if self.n else 0.0
         )
 
@@ -514,8 +559,8 @@ class Solver:
             raise ValueError("b: wrong length")
         b = np.minimum(b, get_infinity())
         self._bs = self._e * b
-        self._dev["b"] = jnp.asarray(self._bs)
-        self._dev["normb"] = jnp.asarray(
+        self._dev["b"] = self._put(self._bs)
+        self._dev["normb"] = self._put(
             float(np.abs(b).max()) if self.m else 0.0
         )
 
@@ -529,7 +574,7 @@ class Solver:
     def _refresh_solve_fn(self):
         factor_dtype_name = _resolve_factor_dtype(self.settings, self.layout)
         self._solve_fn = _cached_solve_fn(
-            self.layout, self.settings, self.n, self.m, self._has_P,
+            self.layout, self._fn_settings, self.n, self.m, self._has_P,
             factor_dtype_name,
         )
 
