@@ -147,19 +147,19 @@ def _fused_sub_prods(th, tl, terms):
     same error class as the sloppy dd_mul/dd_sub chain it replaces at
     ~2/3 the VPU issue slots, and one read-modify-write of the
     accumulator per CALL instead of per product."""
-    elo = None
-    ps = []
+    # incremental accumulation: each term's product enters the
+    # two_sum cascade immediately, so only O(1) window-sized
+    # temporaries are live regardless of len(terms) (a deferred
+    # cascade holds every product simultaneously — at rank 16 on an
+    # (80, 80, 128) window that is ~50 MB of VMEM temporaries)
+    sh = th
+    slo = tl
     for (a, al, a1, a2), (b, bl, b1, b2) in terms:
         p = a * b
         err = (((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
                + (a * bl + al * b))
-        ps.append(p)
-        elo = err if elo is None else elo + err
-    sh = th
-    slo = tl - elo
-    for p in ps:
         sh, c = _two_sum(sh, -p)
-        slo = slo + c
+        slo = slo + (c - err)
     return _quick_two_sum(sh, slo)
 
 
