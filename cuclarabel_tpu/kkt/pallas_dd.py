@@ -324,6 +324,56 @@ def _ldl_kernel_ps(n, p, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
             ll_ref[e:, e:, :] = ul
 
 
+def _ldl_kernel_psc(n, rows, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
+                    dh_ref, dl_ref):
+    """Pre-split factor kernel with ROW-CHUNKED trailing updates.
+
+    The diff-timed probes (scripts/mosaic_probe.py, round 5) show the
+    machine ceiling for dependent elementwise chains on whole
+    (83, 83, 128) operands is ~33% of the VPU f32 issue model, while
+    the SAME chain processed in 8-row chunks reaches ~54% — Mosaic
+    keeps chunk-sized temporaries closer to the register file instead
+    of round-tripping every multi-vreg SSA value through VMEM.  This
+    kernel therefore applies each pivot's pre-split rank-1 trailing
+    update in `rows`-row chunks: the scaled-column factor is one full
+    SSA value shared by every chunk (only the ROWS axis is chunked, so
+    no value slicing — the Mosaic-gather trap), the unscaled w chunk
+    reads straight from the ref (its scaled overwrite is deferred to
+    after the chunk loop), and each chunk is a short fused
+    read-compute-write."""
+    lh_ref[...] = kh_ref[...]
+    ll_ref[...] = kl_ref[...]
+    for j in range(n):
+        h, l = dd_add(lh_ref[j, j, :], ll_ref[j, j, :], reg_ref[j, :],
+                      jnp.zeros_like(reg_ref[j, :]))
+        lh_ref[j, j, :] = h
+        ll_ref[j, j, :] = l
+    for j in range(n):
+        djh = lh_ref[j, j, :]
+        djl = ll_ref[j, j, :]
+        ih, il = dd_recip(djh, djl)
+        dh_ref[j, :] = ih
+        dl_ref[j, :] = il
+        if j + 1 >= n:
+            continue
+        wh = lh_ref[j + 1 :, j, :]  # unscaled column below the pivot
+        wl = ll_ref[j + 1 :, j, :]
+        lch, lcl = dd_mul(wh, wl, ih[None, :], il[None, :])
+        lsp = _brow(_presplit(lch, lcl))  # cols factor, shared
+        for s in range(j + 1, n, rows):
+            e = min(s + rows, n)
+            wq = _bcol(_presplit(lh_ref[s:e, j, :], ll_ref[s:e, j, :]))
+            uh, ul = _fused_sub_prods(
+                lh_ref[s:e, j + 1 :, :], ll_ref[s:e, j + 1 :, :],
+                [(wq, lsp)],
+            )
+            lh_ref[s:e, j + 1 :, :] = uh
+            ll_ref[s:e, j + 1 :, :] = ul
+        # deferred scaled store (the chunk loop needed unscaled w)
+        lh_ref[j + 1 :, j, :] = lch
+        ll_ref[j + 1 :, j, :] = lcl
+
+
 def _ldl_kernel_aligned(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
                         dh_ref, dl_ref):
     """_ldl_kernel with the trailing update's COLUMN offset aligned to
@@ -571,10 +621,21 @@ DD_FACTOR_BLOCK = int(os.environ.get("CUCLARABEL_DD_FACTOR_BLOCK", "0"))
 # decided by on-chip A/B (benchmarks/ab_results/ab_factor_ps.json).
 DD_FACTOR_PS = int(os.environ.get("CUCLARABEL_DD_FACTOR_PS", "2"))
 
+# Row-chunked pre-split factor kernel (_ldl_kernel_psc): trailing
+# updates processed in this many rows per fused read-compute-write
+# (0 disables; takes precedence over PS).  Default decided by the
+# round-5 on-chip sweep.
+DD_FACTOR_PSC = int(os.environ.get("CUCLARABEL_DD_FACTOR_PSC", "0"))
 
-def _factor_body_for(n, block, ps=0):
+
+def _factor_body_for(n, block, ps=0, psc=0):
     if n > UNROLL_MAX:
         return _ldl_kernel_looped
+    if 0 < psc:
+        def body(n_, *refs, _r=psc):
+            return _ldl_kernel_psc(n_, _r, *refs)
+
+        return body
     if 0 < ps:
         def body(n_, *refs, _p=min(ps, n)):
             return _ldl_kernel_ps(n_, _p, *refs)
@@ -994,7 +1055,7 @@ def join_f64(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
-def _factor_impl(Kh, Kl, reg, interpret, block=0, ps=0):
+def _factor_impl(Kh, Kl, reg, interpret, block=0, ps=0, psc=0):
     N = Kh.shape[0]
     lanes = _lanes_for(N)
     Khp = _pad_lanes(Kh, lanes)
@@ -1004,7 +1065,7 @@ def _factor_impl(Kh, Kl, reg, interpret, block=0, ps=0):
     b0 = Kh.shape[-1]
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
-    kern = _factor_body_for(N, block, ps)
+    kern = _factor_body_for(N, block, ps, psc)
     Lh, Ll, Dh, Dl = pl.pallas_call(
         functools.partial(kern, N),
         grid=(Bp // lanes,),
@@ -1213,7 +1274,8 @@ def _cached_impl(impl, statics, *arrays):
     return fn(*arrays)
 
 
-def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None, ps=None):
+def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None, ps=None,
+                  psc=None):
     """Batched dd LDL^T.  Kh/Kl: (N, N, B) f32 pair of the scaled,
     permuted, UNregularized quasidefinite K; reg: (N, B) signed
     regularization diagonal added internally.  Returns (Lh, Ll, Dinvh,
@@ -1223,8 +1285,9 @@ def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None, ps=None):
     DD_FACTOR_PS; takes precedence over block when > 0)."""
     blk = DD_FACTOR_BLOCK if block is None else block
     psv = DD_FACTOR_PS if ps is None else ps
+    pscv = DD_FACTOR_PSC if psc is None else psc
     with jax.enable_x64(False):
-        return _cached_impl(_factor_impl, (interpret, blk, psv),
+        return _cached_impl(_factor_impl, (interpret, blk, psv, pscv),
                             Kh, Kl, reg)
 
 

@@ -33,20 +33,24 @@ bh0, bl0 = split_f64(jnp.moveaxis(jnp.asarray(b), 0, -1))
 def _sync(o):
     np.asarray(jax.tree_util.tree_leaves(o)[0][..., :1]); return o
 
-def make(ps, k):
+def make(ps, k, psc=0):
     @jax.jit
     def f(Kh, Kl, reg_):
         out = None
         for _ in range(k):
-            out = dd_ldl_factor(Kh, Kl, reg_, interpret=INTERP, ps=ps)
+            out = dd_ldl_factor(Kh, Kl, reg_, interpret=INTERP, ps=ps,
+                                psc=psc)
             Kh = Kh + out[0] * jnp.float32(1e-30)
         return out
     return f
 
 print(f"kbench_ps2 N={N} B={B} backend={jax.default_backend()}")
 Kreg = K + (dsigns * 1e-8) * np.eye(N)
-for ps in (0, 8, 16, 24, 32, 48):
-    f1, f3 = make(ps, CH), make(ps, 3 * CH)
+VARIANTS = ([("ps", p) for p in (0, 16, 24, 32)]
+            + [("psc", r) for r in (4, 8, 16)])
+for kind, val in VARIANTS:
+    ps, psc = (val, 0) if kind == "ps" else (0, val)
+    f1, f3 = make(ps, CH, psc), make(ps, 3 * CH, psc)
     L = _sync(f1(Kh0, Kl0, reg)); _sync(f3(Kh0, Kl0, reg))
     ts = []
     for _ in range(3):
@@ -57,5 +61,6 @@ for ps in (0, 8, 16, 24, 32, 48):
     xh, xl = dd_ldl_solve(*L, bh0, bl0, interpret=INTERP)
     x = np.moveaxis(np.asarray(join_f64(xh, xl)), -1, 0)
     r = b - np.einsum("bij,bj->bi", Kreg, x)
-    print(f"ps{ps:2d}: {np.median(ts):6.2f} ms  (reps {[round(t,2) for t in ts]})"
+    print(f"{kind}{val:2d}: {np.median(ts):6.2f} ms  "
+          f"(reps {[round(t,2) for t in ts]})"
           f"  relres {np.abs(r).max()/np.abs(b).max():.2e}", flush=True)
