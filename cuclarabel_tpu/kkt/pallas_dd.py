@@ -621,6 +621,10 @@ DD_FACTOR_BLOCK = int(os.environ.get("CUCLARABEL_DD_FACTOR_BLOCK", "0"))
 # decided by on-chip A/B (benchmarks/ab_results/ab_factor_ps.json).
 DD_FACTOR_PS = int(os.environ.get("CUCLARABEL_DD_FACTOR_PS", "2"))
 
+# Row-chunked residual matvecs in the refine/residual kernels
+# (_resid_chunked): contraction-axis chunk rows; 0 disables.
+DD_RESID_CHUNK = int(os.environ.get("CUCLARABEL_DD_RESID_CHUNK", "0"))
+
 # Row-chunked pre-split factor kernel (_ldl_kernel_psc): trailing
 # updates processed in this many rows per fused read-compute-write
 # (0 disables; takes precedence over PS).  Default decided by the
@@ -774,6 +778,77 @@ def _residual_kernel(n, kh_ref, kl_ref, xh_ref, xl_ref, bh_ref, bl_ref,
     h, l = dd_sub(bh_ref[...], bl_ref[...], sh, sl)
     rh_ref[...] = h
     rl_ref[...] = l
+
+
+def _resid_chunked(n, rows, kh_ref, kl_ref, xrh, xrl, bh, bl):
+    """r = b - K x contracted over K's leading axis (symmetric K), in
+    `rows`-row chunks of the contraction axis — the probe-measured
+    ~1.6x per-op win of chunk-sized temporaries (docs/performance.md,
+    round-5 Mosaic analysis), plus a one-side pre-split of the x chunk
+    (K elements are used once; x chunk halves are shared across all n
+    output columns).  xrh/xrl must be REFS (value slicing lowers to an
+    unsupported Mosaic gather); bh/bl are SSA values.  Error class:
+    per-element quick_two_sum renormalization + dd tree reduction per
+    chunk + sequential dd_sub accumulation — the same class as the
+    whole-array kernel's product-then-tree form."""
+    rh, rl = bh, bl
+    for s in range(0, n, rows):
+        e = min(s + rows, n)
+        xh_, xl_, x1, x2 = _presplit(xrh[s:e, :], xrl[s:e, :])
+        xb = xh_[:, None, :]
+        xlb = xl_[:, None, :]
+        x1b = x1[:, None, :]
+        x2b = x2[:, None, :]
+        kh = kh_ref[s:e, :, :]
+        kl = kl_ref[s:e, :, :]
+        k1, k2 = _dk_split(kh)
+        p = kh * xb
+        err = (((k1 * x1b - p) + k1 * x2b + k2 * x1b) + k2 * x2b
+               + (kh * xlb + kl * xb))
+        ph, pe = _quick_two_sum(p, err)
+        sh, sl = dd_sum_axis0(ph, pe)
+        rh, rl = dd_sub(rh, rl, sh, sl)
+    return rh, rl
+
+
+def _residual_kernel_c(n, rows, kh_ref, kl_ref, xh_ref, xl_ref, bh_ref,
+                       bl_ref, rh_ref, rl_ref):
+    """Chunked standalone residual (see _resid_chunked)."""
+    h, l = _resid_chunked(n, rows, kh_ref, kl_ref, xh_ref, xl_ref,
+                          bh_ref[...], bl_ref[...])
+    rh_ref[...] = h
+    rl_ref[...] = l
+
+
+def _refine_kernel_c(n, rows, npass, solve_body, kh_ref, kl_ref, lh_ref,
+                     ll_ref, dh_ref, dl_ref, bh_ref, bl_ref, xh_ref,
+                     xl_ref, rh_ref, rl_ref, dxh_s, dxl_s):
+    """_refine_kernel with chunked residual matvecs.  The candidate
+    iterate is staged through the dx scratch (dx is dead once x+dx is
+    formed) so each residual reads x chunks from a REF."""
+    solve_body(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
+               xh_ref, xl_ref)
+    eh, el = _resid_chunked(n, rows, kh_ref, kl_ref, xh_ref, xl_ref,
+                            bh_ref[...], bl_ref[...])
+    rh_ref[...] = eh
+    rl_ref[...] = el
+    ne = jnp.max(jnp.abs(eh), axis=0)
+    for _ in range(npass):
+        solve_body(n, lh_ref, ll_ref, dh_ref, dl_ref, rh_ref, rl_ref,
+                   dxh_s, dxl_s)
+        xnh, xnl = dd_add(xh_ref[...], xl_ref[...], dxh_s[...], dxl_s[...])
+        dxh_s[...] = xnh
+        dxl_s[...] = xnl
+        enh, enl = _resid_chunked(n, rows, kh_ref, kl_ref, dxh_s, dxl_s,
+                                  bh_ref[...], bl_ref[...])
+        nen = jnp.max(jnp.abs(enh), axis=0)
+        acc = nen < ne
+        accm = acc[None, :]
+        xh_ref[...] = jnp.where(accm, dxh_s[...], xh_ref[...])
+        xl_ref[...] = jnp.where(accm, dxl_s[...], xl_ref[...])
+        rh_ref[...] = jnp.where(accm, enh, rh_ref[...])
+        rl_ref[...] = jnp.where(accm, enl, rl_ref[...])
+        ne = jnp.where(acc, nen, ne)
 
 
 def _refine_kernel(n, npass, solve_body, kh_ref, kl_ref, lh_ref, ll_ref,
@@ -1107,7 +1182,7 @@ def _solve_impl(Lh, Ll, Dh, Dl, bh, bl, interpret, block=0):
     return xh[..., :b0], xl[..., :b0]
 
 
-def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret):
+def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret, psc=0):
     N = Kh.shape[0]
     lanes = _lanes_for(N)
     b0 = bh.shape[-1]
@@ -1115,8 +1190,10 @@ def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret):
     Bp = args[0].shape[-1]
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
+    kern = (functools.partial(_residual_kernel_c, N, psc) if psc > 0
+            else functools.partial(_residual_kernel, N))
     rh, rl = pl.pallas_call(
-        functools.partial(_residual_kernel, N),
+        kern,
         grid=(Bp // lanes,),
         in_specs=[mat, mat, vec, vec, vec, vec],
         out_specs=[vec, vec],
@@ -1131,7 +1208,7 @@ def _residual_impl(Kh, Kl, xh, xl, bh, bl, interpret):
 
 
 def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret,
-                 block=0):
+                 block=0, psc=0):
     N = Kh.shape[0]
     lanes = _lanes_for(N)
     b0 = bh.shape[-1]
@@ -1141,8 +1218,11 @@ def _refine_impl(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass, interpret,
     mat = pl.BlockSpec((N, N, lanes), lambda i: (0, 0, i))
     vec = pl.BlockSpec((N, lanes), lambda i: (0, i))
     solve_body = _solve_body_for(N, block)
+    kern = (functools.partial(_refine_kernel_c, N, psc, npass, solve_body)
+            if psc > 0
+            else functools.partial(_refine_kernel, N, npass, solve_body))
     xh, xl, rh, rl = pl.pallas_call(
-        functools.partial(_refine_kernel, N, npass, solve_body),
+        kern,
         grid=(Bp // lanes,),
         in_specs=[mat, mat, mat, mat, vec, vec, vec, vec],
         out_specs=[vec, vec, vec, vec],
@@ -1300,17 +1380,19 @@ def dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=False, block=None):
                             Lh, Ll, Dh, Dl, bh, bl)
 
 
-def dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=False):
+def dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=False, psc=None):
     """r = b - K x (dd, K unregularized and SYMMETRIC) -> (N, B) dd
     pair.  The kernel contracts over K's leading axis (valid only for
-    symmetric K; every KKT matrix here is)."""
+    symmetric K; every KKT matrix here is).  psc: chunked-contraction
+    variant (None = module default DD_RESID_CHUNK)."""
+    pscv = DD_RESID_CHUNK if psc is None else psc
     with jax.enable_x64(False):
-        return _cached_impl(_residual_impl, (interpret,),
+        return _cached_impl(_residual_impl, (interpret, pscv),
                             Kh, Kl, xh, xl, bh, bl)
 
 
 def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
-                        interpret=False, block=None):
+                        interpret=False, block=None, psc=None):
     """Fused solve + `npass` refinement passes in ONE kernel launch.
 
     Returns (xh, xl, rh, rl) with r = b - K x the residual of the
@@ -1318,8 +1400,9 @@ def dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl, npass=2,
     rounds of dd_residual/dd_ldl_solve/add with monotone acceptance,
     but L and K stream from HBM once instead of once per pass."""
     blk = DD_BLOCK if block is None else block
+    pscv = DD_RESID_CHUNK if psc is None else psc
     with jax.enable_x64(False):
-        return _cached_impl(_refine_impl, (npass, interpret, blk),
+        return _cached_impl(_refine_impl, (npass, interpret, blk, pscv),
                             Kh, Kl, Lh, Ll, Dh, Dl, bh, bl)
 
 

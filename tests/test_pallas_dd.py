@@ -463,3 +463,62 @@ def test_dd_solver_ir_disabled():
     ref = Solver(P, q, A, b, cones).solve()
     assert sol.status == SolverStatus.SOLVED
     np.testing.assert_allclose(sol.x, ref.x, atol=1e-7)
+
+
+def test_dd_chunked_variants_match():
+    """Row-chunked factor (_ldl_kernel_psc) and chunked-residual
+    refine (_refine_kernel_c / _residual_kernel_c) match the
+    whole-array kernels to dd accuracy (the round-5 Mosaic-analysis
+    kernels; per-variant interpret verification is mandatory for every
+    new dd layout)."""
+    from cuclarabel_tpu.kkt.pallas_dd import dd_ldl_solve_refine
+
+    rng = np.random.default_rng(13)
+    B, n, m = 5, 9, 12
+    N = n + m
+    K = _make_qd(rng, B, n, m, spread=5.0)
+    eps = 1e-8
+    dsigns = np.concatenate([np.ones(n), -np.ones(m)])
+    b = rng.standard_normal((B, N))
+    x = rng.standard_normal((B, N))
+
+    Kh, Kl = split_f64(_lane(K))
+    regT = jnp.broadcast_to(
+        jnp.asarray(dsigns * eps)[:, None], (N, B)).astype(jnp.float32)
+    bh, bl = split_f64(_lane(b))
+    xh, xl = split_f64(_lane(x))
+
+    Kreg = K + (dsigns * eps) * np.eye(N)
+    x_ref = np.linalg.solve(Kreg, b[..., None])[..., 0]
+    scale = max(np.abs(x_ref).max(), 1.0)
+
+    # chunked factor
+    for psc in (1, 4, 8, N + 5):
+        Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT, interpret=True,
+                                       psc=psc)
+        sh, sl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
+        xs = _unlane(join_f64(sh, sl))
+        assert np.abs(xs - x_ref).max() / scale < 1e-9, psc
+
+    # chunked residual
+    r_ref = b - np.einsum("bij,bj->bi", K, x)
+    for psc in (4, 8):
+        rh, rl = dd_residual(Kh, Kl, xh, xl, bh, bl, interpret=True,
+                             psc=psc)
+        r = _unlane(join_f64(rh, rl))
+        assert np.abs(r - r_ref).max() < 1e-10 * max(
+            1.0, np.abs(r_ref).max()), psc
+
+    # chunked refine returns the true residual of its accepted iterate
+    # and matches the whole-array refine to dd accuracy
+    L = dd_ldl_factor(Kh, Kl, regT, interpret=True)
+    xs_by_psc = {}
+    for psc in (0, 8):
+        xh2, xl2, rh2, rl2 = dd_ldl_solve_refine(
+            Kh, Kl, *L, bh, bl, npass=2, interpret=True, psc=psc)
+        xs = _unlane(join_f64(xh2, xl2))
+        rs = _unlane(join_f64(rh2, rl2))
+        rtrue = b - np.einsum("bij,bj->bi", K, xs)
+        assert np.abs(rs - rtrue).max() < 1e-11, psc
+        xs_by_psc[psc] = xs
+    assert np.abs(xs_by_psc[0] - xs_by_psc[8]).max() / scale < 1e-9
