@@ -64,3 +64,36 @@ for kind, val in VARIANTS:
     print(f"{kind}{val:2d}: {np.median(ts):6.2f} ms  "
           f"(reps {[round(t,2) for t in ts]})"
           f"  relres {np.abs(r).max()/np.abs(b).max():.2e}", flush=True)
+
+# ---- refine kernel: whole-array vs chunked residual matvecs
+from cuclarabel_tpu.kkt.pallas_dd import dd_ldl_solve_refine
+
+best = make(0, 1, 8)  # any factor; use psc=8 factor for L
+L = _sync(best(Kh0, Kl0, reg))
+
+def make_refine(psc, k):
+    @jax.jit
+    def f(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl):
+        out = None
+        for _ in range(k):
+            out = dd_ldl_solve_refine(Kh, Kl, Lh, Ll, Dh, Dl, bh, bl,
+                                      npass=1, interpret=INTERP, psc=psc)
+            bh = bh + out[0] * jnp.float32(1e-30)
+        return out
+    return f
+
+for psc in (0, 4, 8, 16):
+    f1, f3 = make_refine(psc, CH), make_refine(psc, 3 * CH)
+    _sync(f1(Kh0, Kl0, *L, bh0, bl0)); _sync(f3(Kh0, Kl0, *L, bh0, bl0))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); _sync(f1(Kh0, Kl0, *L, bh0, bl0))
+        t1 = time.perf_counter(); _sync(f3(Kh0, Kl0, *L, bh0, bl0))
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (2 * CH) * 1e3)
+    out = _sync(f1(Kh0, Kl0, *L, bh0, bl0))
+    x = np.moveaxis(np.asarray(join_f64(out[0], out[1])), -1, 0)
+    r = b - np.einsum("bij,bj->bi", Kreg, x)
+    print(f"refine1_psc{psc:2d}: {np.median(ts):6.2f} ms  "
+          f"(reps {[round(t,2) for t in ts]})"
+          f"  relres {np.abs(r).max()/np.abs(b).max():.2e}", flush=True)
