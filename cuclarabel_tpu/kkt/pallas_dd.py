@@ -623,13 +623,15 @@ DD_FACTOR_PS = int(os.environ.get("CUCLARABEL_DD_FACTOR_PS", "2"))
 
 # Row-chunked residual matvecs in the refine/residual kernels
 # (_resid_chunked): contraction-axis chunk rows; 0 disables.
-DD_RESID_CHUNK = int(os.environ.get("CUCLARABEL_DD_RESID_CHUNK", "0"))
+DD_RESID_CHUNK = int(os.environ.get("CUCLARABEL_DD_RESID_CHUNK", "4"))
 
 # Row-chunked pre-split factor kernel (_ldl_kernel_psc): trailing
 # updates processed in this many rows per fused read-compute-write
-# (0 disables; takes precedence over PS).  Default decided by the
-# round-5 on-chip sweep.
-DD_FACTOR_PSC = int(os.environ.get("CUCLARABEL_DD_FACTOR_PSC", "0"))
+# (0 disables; takes precedence over PS).  Round-5 on-chip sweep
+# (benchmarks/ab_results/ab_factor_ps.json): plain 14.44 ms ->
+# psc4 9.48 ms at (83, 4096); 4 rows fits the chunk's live dd
+# temporaries in registers where 8/16 spill.
+DD_FACTOR_PSC = int(os.environ.get("CUCLARABEL_DD_FACTOR_PSC", "4"))
 
 
 def _factor_body_for(n, block, ps=0, psc=0):
