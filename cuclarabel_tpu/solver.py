@@ -117,6 +117,40 @@ def _put_on(device, x):
     return jax.device_put(x, device) if device is not None else x
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _cpu_cache_scope(active: bool):
+    """Persistent-cache hygiene for host-routed solves in a
+    TPU-default process: XLA:CPU AOT executables are keyed by the
+    COMPILING host's CPU features, and this container migrates between
+    hosts — loading a foreign-host CPU executable can SIGSEGV (the
+    round-2 finding; CPU-pinned processes already use a fingerprinted
+    subdir, cuclarabel_tpu/__init__.py).  host_solve introduces CPU
+    compiles into otherwise-TPU processes, so their first compile is
+    scoped to the same per-host-fingerprint subdirectory; TPU entries
+    stay in the shared dir (they are host-independent and expensive
+    to recompile)."""
+    if not active:
+        yield
+        return
+    old = jax.config.jax_compilation_cache_dir
+    if not old or "/cpu-" in old:
+        yield
+        return
+    from . import _host_fingerprint
+    import os
+
+    sub = os.path.join(old, "cpu-" + _host_fingerprint())
+    try:
+        os.makedirs(sub, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", sub)
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
 def _resolve_factor_dtype(settings, layout=None) -> str:
     if settings.kkt_factor_precision == "auto":
         # accuracy parity with the reference by default: f64 factors
@@ -344,9 +378,19 @@ class Solver:
             # wall-clock-of-solve! semantics
             self._dev["t_start"] = self._put(time.time())
         t0 = time.perf_counter()
-        with trace_ctx:
+        # first host-routed dispatch compiles a CPU executable: scope
+        # its persistent-cache write to the fingerprinted subdir (the
+        # in-memory jit cache serves later solves, so the scope only
+        # matters while the executable is still uncompiled)
+        cache_scope = _cpu_cache_scope(
+            self._solve_device is not None
+            and not getattr(self, "_host_compiled", False)
+        )
+        with trace_ctx, cache_scope:
             out = solve_fn(self._dev)
             jax.block_until_ready(out)
+        if self._solve_device is not None:
+            self._host_compiled = True
         out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
