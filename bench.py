@@ -465,11 +465,17 @@ def main():
                 "roofline_pct": kern["factor_vpu_pct"],
                 "roofline_note": (
                     "KKT dd-factor kernel attainment of the binding "
-                    "resource (VPU f32 issue, 3.85 Top/s peak), isolated "
-                    "warm chained launches at B=4096 in this process; "
-                    "fused refined solves are sublane-granularity bound "
-                    f"at {kern['refine_vpu_pct']}% (docs/performance.md); "
-                    "e2e_vpu_pct is the whole-solve figure"
+                    "resource (VPU f32 issue, 3.85 Top/s peak), "
+                    "diff-timed warm chained launches at B=4096 in "
+                    "this process.  The numerator is the FIXED round-3 "
+                    "op model (28 f32 ops per dd MAC, the plain "
+                    "kernel's count) so the metric tracks task "
+                    "throughput across rounds — the round-5 psc kernel "
+                    "executes ~25 ops/MAC (hoisted Dekker splits), so "
+                    "executed-op efficiency is ~0.9x the printed "
+                    "figure; fused refined solves at "
+                    f"{kern['refine_vpu_pct']}%; e2e_vpu_pct is the "
+                    "whole-solve figure"
                 ),
                 "kernel_attainment": kern,
                 "e2e_vpu_pct": round(

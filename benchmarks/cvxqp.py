@@ -112,12 +112,35 @@ def run(members=("CVXQP1_S", "CVXQP2_S", "CVXQP3_S", "CVXQP1_M"),
     out = []
     for name in members:
         p = cvxqp_qps(name)
-        with tempfile.TemporaryDirectory() as d:
-            path = os.path.join(d, name + ".qps")
-            write_qps(p, path)
-            with open(path) as f:
-                rec = solve_qps_text(f.read(), name=name,
-                                     settings=settings)
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                path = os.path.join(d, name + ".qps")
+                write_qps(p, path)
+                with open(path) as f:
+                    rec = solve_qps_text(f.read(), name=name,
+                                         settings=settings)
+        except Exception as e:  # noqa: BLE001 — keep the suite alive
+            # known case: CVXQP1_M's expander pattern (x_i ~ x_2i ~
+            # x_3i mod n) has no sparse elimination structure; on the
+            # TPU backend its multifrontal program OOMs at COMPILE
+            # with a ~13 GB (levels, fronts, 557, 557) broadcast remat
+            # that the plan-level HBM guard cannot predict (the plan's
+            # own front estimate is ~0.02 GB — an XLA scan/scatter
+            # lowering blowup, round-5 finding).  The member is
+            # CPU-validated (obj to 8 digits, residuals ~1e-12); the
+            # row records the failure honestly instead of killing the
+            # whole artifact run.
+            out.append({
+                "name": name, "n": -1, "m": -1, "status": "ERROR",
+                "error": str(e)[:300], "obj": float("nan"),
+                "iterations": 0, "r_prim": float("nan"),
+                "r_dual": float("nan"), "solve_s": float("nan"),
+                "path": "sparse",
+                "obj_golden": PUBLISHED[name],
+                "obj_err": float("nan"),
+                "obj_tol": max(1e-3, 5e-8 * abs(PUBLISHED[name])),
+            })
+            continue
         rec["obj_golden"] = PUBLISHED[name]
         rec["obj_err"] = abs(rec["obj"] - rec["obj_golden"])
         # published values carry 8 significant digits; assert at the

@@ -227,7 +227,42 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
                 max(rlens) if rlens else 0,
                 (nkp, nk2, nup, nu2, nw))
 
-    shapes = [_lev_shape(ls) for ls in sym.levels]
+    # ---- width-bucketed levels (round-5 fix) ------------------------
+    # A level's fronts all pad to the level maximum; one wide supernode
+    # sharing a level with hundreds of tiny leaves multiplies the
+    # stacked-front buffers catastrophically (CVXQP1_M: level 0 held
+    # 1320 fronts padded to 589x589 — a 7 GB plan whose XLA lowering
+    # materialized ~4 copies and OOMed 16 GB HBM at COMPILE).
+    # Same-level snodes are independent, so each level splits into
+    # size-sorted buckets with max/min padded-front ratio <= 2 (floor
+    # 16): padding is bounded, and the sorted sub-levels are adjacent
+    # and similar so the group DP re-merges them cheaply.
+    def _split_wide_levels(levels):
+        out = []
+        for ls in levels:
+            ls = np.asarray(ls)
+            if len(ls) <= 1:
+                out.append(ls)
+                continue
+            szs = np.array([
+                sym.front_width(int(s)) + len(sym.sn_rows[int(s)])
+                for s in ls
+            ])
+            order = np.argsort(szs, kind="stable")
+            ls_sorted = ls[order]
+            szs_sorted = szs[order]
+            start = 0
+            for i in range(1, len(ls_sorted) + 1):
+                if i == len(ls_sorted) or szs_sorted[i] > 2 * max(
+                    int(szs_sorted[start]), 16
+                ):
+                    out.append(ls_sorted[start:i])
+                    start = i
+        return out
+
+    levels = _split_wide_levels(sym.levels)
+
+    shapes = [_lev_shape(ls) for ls in levels]
     bounds = _choose_groups(shapes, lam=group_lambda)
 
     groups: List[_GroupPlan] = []
@@ -245,7 +280,7 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
         cg_all, dsign_all, pad_all, gidx_all = [], [], [], []
 
         for l in range(glo, ghi):
-            lev_sns = sym.levels[l]
+            lev_sns = levels[l]
             kp_src, kp_dst = [], []
             k2_src, k2_dst = [], []
             up_src, up_dst = [], []
