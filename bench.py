@@ -175,6 +175,43 @@ def main():
     throughput = BATCH / batched_s
     seq_throughput = 1.0 / float(np.median(pipe_s))
 
+    # ---- device-side B=256 (round 5): the pipelined figure still
+    # pays one host dispatch per rep, and the tunnel's floor swings
+    # 24-60 ms between sessions — under a slow phase it dominates a
+    # ~30 ms B=256 program entirely.  Chaining the batched solve
+    # inside ONE program (data dependency through q) and diff-timing
+    # two chain lengths measures pure on-device throughput, the
+    # number that survives on non-tunneled hardware (same protocol
+    # class as b4096.device_side_value).
+    def make_chain_batched(k):
+        @jax.jit
+        def f(P, A_, qd_, bd_):
+            out = None
+            for i in range(k):
+                out = jax.vmap(solve_one, in_axes=(None, None, 0, 0))(
+                    P, A_, qd_, bd_)
+                qd_ = qd_ * (1.0 + 1e-12 * out["obj_val"][:1])
+            return out
+        return f
+
+    cb1, cb3 = make_chain_batched(2), make_chain_batched(6)
+
+    def _fence1(o):
+        np.asarray(o["status"][:1])
+        return o
+
+    _fence1(cb1(Pz, Ad, qd, bd))
+    _fence1(cb3(Pz, Ad, qd, bd))
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fence1(cb1(Pz, Ad, qd, bd))
+        t1 = time.perf_counter()
+        _fence1(cb3(Pz, Ad, qd, bd))
+        t2 = time.perf_counter()
+        dts.append(((t2 - t1) - (t1 - t0)) / 4)
+    b256_device_side = BATCH / float(np.median(dts))
+
     # ---- single-solve latency decomposition (VERDICT r3 #5): measure
     # the runtime's per-program round-trip (dispatch + completion
     # fence) with a trivial program; the single-solve wall time is
@@ -442,6 +479,13 @@ def main():
                     "— continuous-load serving behavior.  The gap is "
                     "the remote runtime's 25-60 ms dispatch+fence "
                     "round-trip, not solver time"
+                ),
+                "device_side_value": round(b256_device_side, 3),
+                "device_side_note": (
+                    "chained launches in one program, diff-timed — "
+                    "pure on-device B=256 throughput, immune to the "
+                    "tunnel's 24-60 ms per-dispatch swings that the "
+                    "pipelined/sync figures inherit"
                 ),
                 "single_solve_ms": round(1e3 / seq_sync_throughput, 2),
                 "dispatch_floor_ms": round(dispatch_floor_ms, 3),
