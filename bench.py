@@ -564,22 +564,29 @@ def main():
 _JSON_PRINTED = False
 
 if __name__ == "__main__":
-    # the remote compile helper intermittently drops a response mid-read
-    # ("INTERNAL: ... response body closed before all bytes were read",
-    # observed twice on 2026-08-20); one retry after a cool-down covers
-    # the transient without masking real failures.  Retry ONLY if the
-    # final JSON line has not been printed yet — a failure after the
-    # print must not emit a second line (driver contract: exactly one).
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001
-        if _JSON_PRINTED or not (
-            "remote_compile" in str(e) or "INTERNAL" in str(e)
-        ):
-            raise
-        import sys
+    # the remote compile helper intermittently drops responses mid-read
+    # ("INTERNAL: ... response body closed before all bytes were read");
+    # during bad phases several consecutive requests fail (observed
+    # 2026-08-21), so retry up to 3 times with growing cool-downs.
+    # Retry ONLY if the final JSON line has not been printed yet — a
+    # failure after the print must not emit a second line (driver
+    # contract: exactly one).
+    import sys
 
-        print(f"bench: transient runtime error, retrying once: {e}",
-              file=sys.stderr)
-        time.sleep(30)
-        main()
+    for attempt in range(4):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            transient = (
+                "remote_compile" in str(e) or "INTERNAL" in str(e)
+            )
+            if _JSON_PRINTED or not transient or attempt == 3:
+                raise
+            cool = 30 * (attempt + 1)
+            print(
+                f"bench: transient runtime error (attempt {attempt + 1}),"
+                f" retrying in {cool}s: {e}",
+                file=sys.stderr,
+            )
+            time.sleep(cool)
