@@ -194,7 +194,10 @@ def main():
             return out
         return f
 
-    cb1, cb3 = make_chain_batched(2), make_chain_batched(6)
+    # chains kept short: each link embeds the WHOLE solve program and
+    # the remote helper drops oversized requests (observed with a
+    # 6-deep chain)
+    cb1, cb3 = make_chain_batched(1), make_chain_batched(3)
 
     def _fence1(o):
         np.asarray(o["status"][:1])
@@ -209,7 +212,7 @@ def main():
         t1 = time.perf_counter()
         _fence1(cb3(Pz, Ad, qd, bd))
         t2 = time.perf_counter()
-        dts.append(((t2 - t1) - (t1 - t0)) / 4)
+        dts.append(((t2 - t1) - (t1 - t0)) / 2)
     b256_device_side = BATCH / float(np.median(dts))
 
     # ---- single-solve latency decomposition (VERDICT r3 #5): measure
