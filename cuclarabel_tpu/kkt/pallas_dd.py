@@ -540,6 +540,73 @@ def _solve_kernel(n, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref, bl_ref,
         xl_ref[j, :] = l
 
 
+def _panel_sub_presplit(th, tl, lh_, ll_, xsp, axis):
+    """(th, tl) -= contraction of an L panel with a pre-split dd x
+    panel over `axis` (1 = forward: x broadcast over rows; 0 =
+    backward: x broadcast over cols).  One-side pre-split form: the x
+    operand's Dekker halves are shared across the whole panel (see
+    _fused_sub_prods), the L element splits inline — ~18 ops/element
+    vs 23 for full dd_mul, same error class (per-element
+    quick_two_sum renorm + dd tree reduction)."""
+    xh_, xl_, x1, x2 = xsp
+    if axis == 1:  # x indexed by panel cols -> broadcast over rows
+        xb, xlb, x1b, x2b = (v[None, :, :] for v in (xh_, xl_, x1, x2))
+    else:  # x indexed by panel rows -> broadcast over cols
+        xb, xlb, x1b, x2b = (v[:, None, :] for v in (xh_, xl_, x1, x2))
+    l1, l2 = _dk_split(lh_)
+    pr = lh_ * xb
+    err = (((l1 * x1b - pr) + l1 * x2b + l2 * x1b) + l2 * x2b
+           + (lh_ * xlb + ll_ * xb))
+    ph, pe = _quick_two_sum(pr, err)
+    sh, sl = dd_sum_axis(ph, pe, axis)
+    return dd_sub(th, tl, sh, sl)
+
+
+def _solve_kernel_blocked_ps(n, p, lh_ref, ll_ref, dh_ref, dl_ref,
+                             bh_ref, bl_ref, xh_ref, xl_ref):
+    """_solve_kernel_blocked with pre-split panel updates (round 5).
+    The intra-panel short steps (latency-bound single-sublane ops)
+    stay plain; the wide rank-p panel updates — the issue-bound bulk
+    — use the one-side pre-split form."""
+    xh_ref[...] = bh_ref[...]
+    xl_ref[...] = bl_ref[...]
+    for s in range(0, n, p):  # forward: (I+L) y = b
+        e = min(s + p, n)
+        for j in range(s + 1, e):
+            ph, pe = dd_mul(lh_ref[j, s:j, :], ll_ref[j, s:j, :],
+                            xh_ref[s:j, :], xl_ref[s:j, :])
+            sh, sl = dd_sum_axis0(ph, pe)
+            h, l = dd_sub(xh_ref[j, :], xl_ref[j, :], sh, sl)
+            xh_ref[j, :] = h
+            xl_ref[j, :] = l
+        if e < n:
+            xsp = _presplit(xh_ref[s:e, :], xl_ref[s:e, :])
+            h, l = _panel_sub_presplit(
+                xh_ref[e:, :], xl_ref[e:, :],
+                lh_ref[e:, s:e, :], ll_ref[e:, s:e, :], xsp, axis=1)
+            xh_ref[e:, :] = h
+            xl_ref[e:, :] = l
+    h, l = dd_mul(xh_ref[...], xl_ref[...], dh_ref[...], dl_ref[...])
+    xh_ref[...] = h
+    xl_ref[...] = l
+    for s in reversed(range(0, n, p)):  # backward: (I+L)^T x = y
+        e = min(s + p, n)
+        if e < n:
+            xsp = _presplit(xh_ref[e:, :], xl_ref[e:, :])
+            h, l = _panel_sub_presplit(
+                xh_ref[s:e, :], xl_ref[s:e, :],
+                lh_ref[e:, s:e, :], ll_ref[e:, s:e, :], xsp, axis=0)
+            xh_ref[s:e, :] = h
+            xl_ref[s:e, :] = l
+        for j in range(e - 2, s - 1, -1):
+            ph, pe = dd_mul(lh_ref[j + 1 : e, j, :], ll_ref[j + 1 : e, j, :],
+                            xh_ref[j + 1 : e, :], xl_ref[j + 1 : e, :])
+            sh, sl = dd_sum_axis0(ph, pe)
+            h, l = dd_sub(xh_ref[j, :], xl_ref[j, :], sh, sl)
+            xh_ref[j, :] = h
+            xl_ref[j, :] = l
+
+
 def _solve_kernel_blocked(n, p, lh_ref, ll_ref, dh_ref, dl_ref, bh_ref,
                           bl_ref, xh_ref, xl_ref):
     """Blocked (L+I) D (L+I)^T x = b: substitution by width-p panels.
@@ -659,12 +726,17 @@ def _factor_body_for(n, block, ps=0, psc=0):
 
 def _solve_body_for(n, block):
     """Pick the substitution body: looped (constant IR) above
-    UNROLL_MAX, else blocked panels when enabled, else plain unrolled."""
+    UNROLL_MAX, else blocked panels when enabled (pre-split panel
+    updates unless CUCLARABEL_DD_SOLVE_PS=0), else plain unrolled."""
     if n > UNROLL_MAX:
         return _solve_kernel_looped
     if 0 < block < n:
-        def body(n_, *refs, _p=block):
-            return _solve_kernel_blocked(n_, _p, *refs)
+        kern = (_solve_kernel_blocked_ps
+                if os.environ.get("CUCLARABEL_DD_SOLVE_PS", "1") != "0"
+                else _solve_kernel_blocked)
+
+        def body(n_, *refs, _k=kern, _p=block):
+            return _k(n_, _p, *refs)
 
         return body
     return _solve_kernel
