@@ -688,6 +688,14 @@ DD_FACTOR_BLOCK = int(os.environ.get("CUCLARABEL_DD_FACTOR_BLOCK", "0"))
 # decided by on-chip A/B (benchmarks/ab_results/ab_factor_ps.json).
 DD_FACTOR_PS = int(os.environ.get("CUCLARABEL_DD_FACTOR_PS", "2"))
 
+# Pre-split panel updates in the blocked substitution kernels
+# (_solve_kernel_blocked_ps); read ONCE at import and part of the impl
+# cache key — reading the env at trace time with a key that omits it
+# would silently serve a stale kernel on in-process toggles (the
+# UNROLL_MAX lesson).  Measured a wash on-chip (ab_factor_ps.json);
+# kept on (no regression, marginal solve win).
+DD_SOLVE_PS = os.environ.get("CUCLARABEL_DD_SOLVE_PS", "1") != "0"
+
 # Row-chunked residual matvecs in the refine/residual kernels
 # (_resid_chunked): contraction-axis chunk rows; 0 disables.
 DD_RESID_CHUNK = int(os.environ.get("CUCLARABEL_DD_RESID_CHUNK", "4"))
@@ -731,8 +739,7 @@ def _solve_body_for(n, block):
     if n > UNROLL_MAX:
         return _solve_kernel_looped
     if 0 < block < n:
-        kern = (_solve_kernel_blocked_ps
-                if os.environ.get("CUCLARABEL_DD_SOLVE_PS", "1") != "0"
+        kern = (_solve_kernel_blocked_ps if DD_SOLVE_PS
                 else _solve_kernel_blocked)
 
         def body(n_, *refs, _k=kern, _p=block):
@@ -1411,7 +1418,7 @@ def _cached_impl(impl, statics, *arrays):
     # reads it at trace time, so a cached wrapper traced under a
     # different value would silently serve the wrong kernel (the
     # looped-vs-unrolled test monkeypatches it)
-    key = (impl.__name__, statics, sig, UNROLL_MAX)
+    key = (impl.__name__, statics, sig, UNROLL_MAX, DD_SOLVE_PS)
     fn = _JIT_IMPL_CACHE.get(key)
     if fn is None:
         def f(*xs):
@@ -1422,7 +1429,7 @@ def _cached_impl(impl, statics, *arrays):
         )
         stat = "_".join(str(int(v)) for v in statics)
         f.__name__ = (f"{impl.__name__.lstrip('_')}_{shapes}_s{stat}"
-                      f"_u{UNROLL_MAX}")
+                      f"_u{UNROLL_MAX}_sp{int(DD_SOLVE_PS)}")
         fn = jax.jit(f)
         _JIT_IMPL_CACHE[key] = fn
     return fn(*arrays)
@@ -1435,11 +1442,20 @@ def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None, ps=None,
     regularization diagonal added internally.  Returns (Lh, Ll, Dinvh,
     Dinvl) in the same lane-major layout (strict upper L is junk).
     block: factor panel width (None = module default DD_FACTOR_BLOCK).
-    ps: pre-split rank-p kernel, p = ps (None = module default
-    DD_FACTOR_PS; takes precedence over block when > 0)."""
+    ps: pre-split rank-p kernel, p = ps (None = module default).
+    psc: row-chunked pre-split kernel, chunk rows = psc (None =
+    module default DD_FACTOR_PSC).  Kernel precedence: psc > ps >
+    block; an EXPLICIT ps=/block= request disables the psc module
+    default (callers asking for a specific variant must get that
+    variant — the per-variant verification tests depend on it)."""
     blk = DD_FACTOR_BLOCK if block is None else block
     psv = DD_FACTOR_PS if ps is None else ps
-    pscv = DD_FACTOR_PSC if psc is None else psc
+    if psc is None:
+        # module default applies only when no other variant was
+        # explicitly requested
+        pscv = 0 if (ps is not None or block is not None) else DD_FACTOR_PSC
+    else:
+        pscv = psc
     with jax.enable_x64(False):
         return _cached_impl(_factor_impl, (interpret, blk, psv, pscv),
                             Kh, Kl, reg)

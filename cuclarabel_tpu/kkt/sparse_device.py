@@ -89,6 +89,10 @@ class NumericPlan:
     groups: List[_GroupPlan]
     ubuf_size: int
     N: int
+    # scheduled level count AFTER width bucketing (what the compiled
+    # program actually walks; len(sym.levels) is the pre-split etree
+    # level count)
+    n_sched_levels: int = 0
 
     def memory_estimate_bytes(self, nnzK: int, factor_bytes: int = 4):
         """Device-memory footprint estimate of one numeric
@@ -408,7 +412,8 @@ def build_numeric_plan(sym: SymbolicPlan, dsigns: np.ndarray,
         ))
 
     return NumericPlan(sym=sym, groups=groups,
-                       ubuf_size=ubuf_size, N=N)
+                       ubuf_size=ubuf_size, N=N,
+                       n_sched_levels=len(levels))
 
 
 # ---------------------------------------------------------------------

@@ -476,7 +476,10 @@ def make_sparse_tpu_kkt(n: int, m: int, settings, layout,
             for w in (sym.front_width(s),)
         )),
         "supernodes": int(sym.ns),
-        "levels": len(sym.levels),
+        # scheduled (width-bucketed) level count — what the compiled
+        # program walks; etree_levels is the raw etree depth
+        "levels": int(plan.n_sched_levels),
+        "etree_levels": len(sym.levels),
     }
     sp_prob._kkt_memo[memo_key] = (factorize, solve, host_bufs)
     return factorize, solve, host_bufs

@@ -558,8 +558,12 @@ class BatchSolver:
                 ws = tuple(a[i : i + C] for a in ws_args)
                 wpad = C
             else:
-                # tail chunk: pad to a power of two by repeating rows
-                wpad = max(256, 1 << int(w - 1).bit_length())
+                # tail chunk: pad to a power of two by repeating rows,
+                # bounded by the chunk width (the floor of 256 bounds
+                # the set of compiled shapes; a chunk narrower than
+                # that caps the pad — the documented HBM bound is the
+                # chunk width)
+                wpad = min(C, max(256, 1 << int(w - 1).bit_length()))
                 idx = jnp.asarray(np.resize(np.arange(i, i + w), wpad))
                 args = tuple(a[idx] for a in self._args)
                 ws = tuple(a[idx] for a in ws_args)

@@ -112,9 +112,21 @@ def _host_solve_device(settings, N: int):
         return None
 
 
+def _host_solve_method(settings) -> str:
+    """KKT method for a host-routed program: keep an explicitly chosen
+    CPU-capable method; only "auto" (which would sniff the TPU
+    process backend) and "pallas" (TPU-only) map to "lu"."""
+    m = settings.kkt_solve_method
+    return m if m in ("lu", "inverse", "qr") else "lu"
+
+
 def _put_on(device, x):
-    x = jnp.asarray(x)
-    return jax.device_put(x, device) if device is not None else x
+    if device is not None:
+        # device_put straight from host memory: jnp.asarray first
+        # would commit the array to the DEFAULT (TPU) device and the
+        # copy back to CPU would cross the tunnel twice per array
+        return jax.device_put(np.asarray(x), device)
+    return jnp.asarray(x)
 
 
 import contextlib
@@ -284,9 +296,11 @@ class Solver:
         self._solve_device = _host_solve_device(self.settings, n + m)
         if self._solve_device is not None:
             # the compiled program runs on CPU; pin the KKT method to
-            # the CPU path (auto resolution sniffs the process default
-            # backend, which is the TPU here)
-            self._fn_settings = self.settings.replace(kkt_solve_method="lu")
+            # a CPU path (auto resolution sniffs the process default
+            # backend, which is the TPU here; an explicit lu/inverse/
+            # qr choice is kept)
+            self._fn_settings = self.settings.replace(
+                kkt_solve_method=_host_solve_method(self.settings))
         else:
             self._fn_settings = self.settings
         self._dev = {
@@ -378,19 +392,14 @@ class Solver:
             # wall-clock-of-solve! semantics
             self._dev["t_start"] = self._put(time.time())
         t0 = time.perf_counter()
-        # first host-routed dispatch compiles a CPU executable: scope
-        # its persistent-cache write to the fingerprinted subdir (the
-        # in-memory jit cache serves later solves, so the scope only
-        # matters while the executable is still uncompiled)
-        cache_scope = _cpu_cache_scope(
-            self._solve_device is not None
-            and not getattr(self, "_host_compiled", False)
-        )
-        with trace_ctx, cache_scope:
+        # every host-routed dispatch that might compile (cold, warm-
+        # start variant, post-update_data refresh) scopes its
+        # persistent-cache access to the fingerprinted CPU subdir; the
+        # scope is two config updates when the executable is already
+        # in the in-memory jit cache — negligible next to the solve
+        with trace_ctx, _cpu_cache_scope(self._solve_device is not None):
             out = solve_fn(self._dev)
             jax.block_until_ready(out)
-        if self._solve_device is not None:
-            self._host_compiled = True
         out = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         solve_time = time.perf_counter() - t0
 
