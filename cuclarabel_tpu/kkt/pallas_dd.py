@@ -374,6 +374,100 @@ def _ldl_kernel_psc(n, rows, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
         ll_ref[j + 1 :, j, :] = lcl
 
 
+def _ldl_kernel_psc2(n, rows, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
+                     dh_ref, dl_ref):
+    """_ldl_kernel_psc with PIVOT PAIRS: the chunked trailing update
+    applies two pivots' pre-split rank-1 terms in one read-modify-write
+    of each chunk — half the trailing-matrix traffic of rank-1 psc.
+
+    Mechanics per pair (j, j+1):
+      1. pivot j: recip/scale; the scaled column stashes into row j's
+         junk UPPER triangle (so later chunk iterations can re-read it
+         from a ref — slicing the SSA value would lower to an
+         unsupported Mosaic gather); the lower-triangle store of the
+         scaled column is deferred past the tail loop (the chunks read
+         the UNSCALED w from the ref).
+      2. column j+1 gets pivot j's narrow rank-1 update (rows j+1..),
+         making pivot j+1's diagonal and column final.
+      3. pivot j+1: recip/scale, stash in row j+1's upper.
+      4. rows-chunked rank-2 tail on [j+2.., j+2..] via
+         _fused_sub_prods with both pivots' terms.
+      5. deferred scaled-column stores for j and j+1.
+    Odd n: the last pivot runs the rank-1 psc path."""
+    lh_ref[...] = kh_ref[...]
+    ll_ref[...] = kl_ref[...]
+    for j in range(n):
+        h, l = dd_add(lh_ref[j, j, :], ll_ref[j, j, :], reg_ref[j, :],
+                      jnp.zeros_like(reg_ref[j, :]))
+        lh_ref[j, j, :] = h
+        ll_ref[j, j, :] = l
+    j = 0
+    while j < n:
+        if j + 1 >= n:
+            # final lone pivot: just the reciprocal (no column below)
+            ih, il = dd_recip(lh_ref[j, j, :], ll_ref[j, j, :])
+            dh_ref[j, :] = ih
+            dl_ref[j, :] = il
+            break
+        # ---- pivot j
+        ih, il = dd_recip(lh_ref[j, j, :], ll_ref[j, j, :])
+        dh_ref[j, :] = ih
+        dl_ref[j, :] = il
+        wjh = lh_ref[j + 1 :, j, :]   # unscaled col j (rows j+1..)
+        wjl = ll_ref[j + 1 :, j, :]
+        lcjh, lcjl = dd_mul(wjh, wjl, ih[None, :], il[None, :])
+        # stash the full scaled col j in row j's junk upper (cols
+        # j+1..): later reads slice the REF, never the SSA value
+        # (value slicing lowers to an unsupported Mosaic gather)
+        lh_ref[j, j + 1 :, :] = lcjh
+        ll_ref[j, j + 1 :, :] = lcjl
+        # ---- narrow rank-1: column j+1, rows j+1.. (finalizes pivot
+        # j+1's diagonal and column); the scalar l_j[j+1] reads from
+        # the stash
+        uh, ul = _fused_sub_prods(
+            lh_ref[j + 1 :, j + 1, :], ll_ref[j + 1 :, j + 1, :],
+            [(_presplit(wjh, wjl),
+              tuple(v[None, :] for v in _presplit(lh_ref[j, j + 1, :],
+                                                  ll_ref[j, j + 1, :])))],
+        )
+        lh_ref[j + 1 :, j + 1, :] = uh
+        ll_ref[j + 1 :, j + 1, :] = ul
+        # ---- pivot j+1
+        i2h, i2l = dd_recip(lh_ref[j + 1, j + 1, :],
+                            ll_ref[j + 1, j + 1, :])
+        dh_ref[j + 1, :] = i2h
+        dl_ref[j + 1, :] = i2l
+        if j + 2 < n:
+            w2h = lh_ref[j + 2 :, j + 1, :]  # unscaled col j+1
+            w2l = ll_ref[j + 2 :, j + 1, :]
+            lc2h, lc2l = dd_mul(w2h, w2l, i2h[None, :], i2l[None, :])
+            lh_ref[j + 1, j + 2 :, :] = lc2h
+            ll_ref[j + 1, j + 2 :, :] = lc2l
+            # ---- chunked rank-2 tail on [j+2.., j+2..]
+            lsp_j = _brow(_presplit(lh_ref[j, j + 2 :, :],
+                                    ll_ref[j, j + 2 :, :]))
+            lsp_2 = _brow(_presplit(lh_ref[j + 1, j + 2 :, :],
+                                    ll_ref[j + 1, j + 2 :, :]))
+            for s in range(j + 2, n, rows):
+                e = min(s + rows, n)
+                wq_j = _bcol(_presplit(lh_ref[s:e, j, :],
+                                       ll_ref[s:e, j, :]))
+                wq_2 = _bcol(_presplit(lh_ref[s:e, j + 1, :],
+                                       ll_ref[s:e, j + 1, :]))
+                th, tl = _fused_sub_prods(
+                    lh_ref[s:e, j + 2 :, :], ll_ref[s:e, j + 2 :, :],
+                    [(wq_j, lsp_j), (wq_2, lsp_2)],
+                )
+                lh_ref[s:e, j + 2 :, :] = th
+                ll_ref[s:e, j + 2 :, :] = tl
+            # deferred scaled-column stores
+            lh_ref[j + 2 :, j + 1, :] = lc2h
+            ll_ref[j + 2 :, j + 1, :] = lc2l
+        lh_ref[j + 1 :, j, :] = lcjh
+        ll_ref[j + 1 :, j, :] = lcjl
+        j += 2
+
+
 def _ldl_kernel_aligned(n, kh_ref, kl_ref, reg_ref, lh_ref, ll_ref,
                         dh_ref, dl_ref):
     """_ldl_kernel with the trailing update's COLUMN offset aligned to
@@ -715,6 +809,11 @@ def _factor_body_for(n, block, ps=0, psc=0):
     if 0 < psc:
         def body(n_, *refs, _r=psc):
             return _ldl_kernel_psc(n_, _r, *refs)
+
+        return body
+    if psc < 0:
+        def body(n_, *refs, _r=-psc):
+            return _ldl_kernel_psc2(n_, _r, *refs)
 
         return body
     if 0 < ps:
