@@ -492,8 +492,9 @@ def test_dd_chunked_variants_match():
     x_ref = np.linalg.solve(Kreg, b[..., None])[..., 0]
     scale = max(np.abs(x_ref).max(), 1.0)
 
-    # chunked factor
-    for psc in (1, 4, 8, N + 5):
+    # chunked factor (positive = rank-1 psc, negative = rank-2
+    # pivot-pair psc2 with |psc| chunk rows)
+    for psc in (1, 4, 8, N + 5, -1, -4, -8):
         Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT, interpret=True,
                                        psc=psc)
         sh, sl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
