@@ -1548,10 +1548,15 @@ def dd_ldl_factor(Kh, Kl, reg, interpret=False, block=None, ps=None,
     default (callers asking for a specific variant must get that
     variant — the per-variant verification tests depend on it)."""
     blk = DD_FACTOR_BLOCK if block is None else block
-    psv = DD_FACTOR_PS if ps is None else ps
+    # module defaults apply only when no other variant was explicitly
+    # requested: an explicit block= zeroes the ps AND psc defaults, an
+    # explicit ps= zeroes the psc default (precedence psc > ps > block
+    # would otherwise shadow the requested kernel)
+    if ps is None:
+        psv = 0 if block is not None else DD_FACTOR_PS
+    else:
+        psv = ps
     if psc is None:
-        # module default applies only when no other variant was
-        # explicitly requested
         pscv = 0 if (ps is not None or block is not None) else DD_FACTOR_PSC
     else:
         pscv = psc

@@ -485,7 +485,11 @@ class Solver:
         included by print_timers()."""
         from .profiling import phase_breakdown
 
-        return phase_breakdown(self, reps=reps)
+        # the phase programs jit against the solver's committed arrays;
+        # under host_solve routing they compile CPU executables and
+        # must hit the fingerprinted cache subdir like solve() does
+        with _cpu_cache_scope(self._solve_device is not None):
+            return phase_breakdown(self, reps=reps)
 
     def print_timers(self) -> None:
         """Hierarchical wall-clock report (print_timers(solver),

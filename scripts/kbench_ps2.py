@@ -46,8 +46,7 @@ def make(ps, k, psc=0):
 
 print(f"kbench_ps2 N={N} B={B} backend={jax.default_backend()}")
 Kreg = K + (dsigns * 1e-8) * np.eye(N)
-import os as _os
-_sw = _os.environ.get("KB_VARIANTS", "ps:0,psc:3,psc:4,psc:5,psc:-3,psc:-4,psc:-5")
+_sw = os.environ.get("KB_VARIANTS", "ps:0,psc:3,psc:4,psc:5,psc:-3,psc:-4,psc:-5")
 VARIANTS = [(kv.split(":")[0], int(kv.split(":")[1])) for kv in _sw.split(",")]
 for kind, val in VARIANTS:
     ps, psc = (val, 0) if kind == "ps" else (0, val)

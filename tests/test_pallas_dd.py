@@ -501,6 +501,25 @@ def test_dd_chunked_variants_match():
         xs = _unlane(join_f64(sh, sl))
         assert np.abs(xs - x_ref).max() / scale < 1e-9, psc
 
+    # EVEN N exercises psc2's terminal-pair branch (j+2 == n: no tail,
+    # no second stash, lone deferred store) — dead at odd N
+    Ke = _make_qd(rng, B, n, m + 1, spread=4.0)
+    Ne = N + 1
+    dse = np.concatenate([np.ones(n), -np.ones(m + 1)])
+    be_ = rng.standard_normal((B, Ne))
+    Khe, Kle = split_f64(_lane(Ke))
+    regE = jnp.broadcast_to(
+        jnp.asarray(dse * eps)[:, None], (Ne, B)).astype(jnp.float32)
+    bhe, ble = split_f64(_lane(be_))
+    xe_ref = np.linalg.solve(Ke + (dse * eps) * np.eye(Ne),
+                             be_[..., None])[..., 0]
+    for psc in (-1, -4):
+        L = dd_ldl_factor(Khe, Kle, regE, interpret=True, psc=psc)
+        sh, sl = dd_ldl_solve(*L, bhe, ble, interpret=True)
+        xs = _unlane(join_f64(sh, sl))
+        err = np.abs(xs - xe_ref).max() / max(np.abs(xe_ref).max(), 1.0)
+        assert err < 1e-9, (psc, err)
+
     # chunked residual
     r_ref = b - np.einsum("bij,bj->bi", K, x)
     for psc in (4, 8):
