@@ -335,6 +335,33 @@ def run_batch(cls, seed, B=5):
             ) / max(1.0, abs(ref.obj_val)) < 1e-3, label
 
 
+def run_warm(cls, seed):
+    """Warm-start correctness sweep: a solve seeded from a slightly
+    perturbed problem's solution must reach the same optimum as the
+    cold solve (symmetric-cone classes; warmstart.py scope), in no
+    more iterations."""
+    import zlib
+
+    rng = np.random.default_rng([zlib.crc32(cls.encode()), seed, 991])
+    P, q, A, b, cones = GENS[cls](rng)
+    s0 = cc.Solver(P, q, A, b, cones, presolve_enable=False)
+    cold = s0.solve()
+    if cold.status != SolverStatus.SOLVED:
+        return
+    q2 = q * (1.0 + 0.01 * rng.standard_normal(q.shape))
+    s1 = cc.Solver(P, q2, A, b, cones, presolve_enable=False)
+    ref = s1.solve()
+    warm = s1.solve(warm_start=(cold.x, cold.s, cold.z))
+    label = f"{cls}/warm/{seed}"
+    assert warm.status in (SolverStatus.SOLVED,
+                           SolverStatus.ALMOST_SOLVED), \
+        f"{label}: {warm.status}"
+    rel = abs(warm.obj_val - ref.obj_val) / max(1.0, abs(ref.obj_val))
+    assert rel < 1e-6, f"{label}: obj rel {rel}"
+    assert warm.iterations <= ref.iterations + 2, \
+        f"{label}: warm {warm.iterations} vs cold {ref.iterations}"
+
+
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     paths = ["dense", "sparse"]
@@ -360,6 +387,21 @@ def main():
     # comparisons need the class-specific tolerance logic above.
     if "--no-batch" not in sys.argv:
         nb = max(2, n_seeds // 5)
+        # warm-start sweeps: symmetric-cone classes only (warmstart.py
+        # scope — exp/pow/genpow layouts are excluded by validation)
+        for cls in ("lp", "qp", "socp", "mixed"):
+            for seed in range(nb):
+                total += 1
+                try:
+                    run_warm(cls, seed)
+                except Exception:
+                    fails += 1
+                    print(f"FAIL class={cls} seed={seed} path=warm")
+                    traceback.print_exc(limit=3)
+                    sys.stdout.flush()
+            print(f"done {cls}/warm: total={total} fails={fails}",
+                  flush=True)
+            jax.clear_caches()
         for cls in [c for c in GENS if c != "scaled_qp"]:
             for seed in range(nb):
                 total += 1
