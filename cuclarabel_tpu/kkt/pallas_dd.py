@@ -794,13 +794,18 @@ DD_SOLVE_PS = os.environ.get("CUCLARABEL_DD_SOLVE_PS", "1") != "0"
 # (_resid_chunked): contraction-axis chunk rows; 0 disables.
 DD_RESID_CHUNK = int(os.environ.get("CUCLARABEL_DD_RESID_CHUNK", "4"))
 
-# Row-chunked pre-split factor kernel (_ldl_kernel_psc): trailing
-# updates processed in this many rows per fused read-compute-write
-# (0 disables; takes precedence over PS).  Round-5 on-chip sweep
+# Row-chunked pre-split factor kernel: trailing updates processed in
+# this many rows per fused read-compute-write (0 disables; takes
+# precedence over PS).  Negative = rank-2 pivot-pair variant
+# (_ldl_kernel_psc2) with |value| chunk rows: two pivots' rank-1 terms
+# land in ONE read-modify-write of each chunk — half the trailing
+# traffic of rank-1 psc.  Round-5 on-chip sweep
 # (benchmarks/ab_results/ab_factor_ps.json): plain 14.44 ms ->
-# psc4 9.48 ms at (83, 4096); 4 rows fits the chunk's live dd
-# temporaries in registers where 8/16 spill.
-DD_FACTOR_PSC = int(os.environ.get("CUCLARABEL_DD_FACTOR_PSC", "4"))
+# psc4 9.48/9.25 -> psc-2 7.12 ms at (83, 4096); interleaved A/B at
+# the bench shape (76, 4096): psc-1 5.02/5.37 vs psc-2 5.56/5.38 (and
+# psc4 7.38) -> psc-1 default.  Small chunks fit the live dd
+# temporaries in registers (psc-3/-4/-5 climb back to 8.2/9.4/10.2).
+DD_FACTOR_PSC = int(os.environ.get("CUCLARABEL_DD_FACTOR_PSC", "-1"))
 
 
 def _factor_body_for(n, block, ps=0, psc=0):

@@ -494,7 +494,7 @@ def test_dd_chunked_variants_match():
 
     # chunked factor (positive = rank-1 psc, negative = rank-2
     # pivot-pair psc2 with |psc| chunk rows)
-    for psc in (1, 4, 8, N + 5, -1, -4, -8):
+    for psc in (1, 4, 8, N + 5, -1, -2, -4, -8):
         Lh, Ll, Dh, Dl = dd_ldl_factor(Kh, Kl, regT, interpret=True,
                                        psc=psc)
         sh, sl = dd_ldl_solve(Lh, Ll, Dh, Dl, bh, bl, interpret=True)
@@ -513,7 +513,7 @@ def test_dd_chunked_variants_match():
     bhe, ble = split_f64(_lane(be_))
     xe_ref = np.linalg.solve(Ke + (dse * eps) * np.eye(Ne),
                              be_[..., None])[..., 0]
-    for psc in (-1, -4):
+    for psc in (-1, -2, -4):
         L = dd_ldl_factor(Khe, Kle, regE, interpret=True, psc=psc)
         sh, sl = dd_ldl_solve(*L, bhe, ble, interpret=True)
         xs = _unlane(join_f64(sh, sl))
